@@ -1,0 +1,341 @@
+"""Driver-contract queries: each key maps an operator from SURVEY.md §2 to a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Conventions that keep the driver's order-insensitive value-hash stable:
+- every computed column is aliased identically in Spark and SQL;
+- timestamps are emitted as epoch microseconds (bigint) — exact integers,
+  no timezone ambiguity between Spark (session-TZ) and DuckDB (naive);
+- order-dependent float aggregates (sum/avg/stddev/var) are rounded to 6
+  decimals on BOTH sides so summation order can't flip the hash;
+- window orderings always carry a unique tiebreak column (event_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.functions.timeutil import epoch_micros, epoch_seconds
+from feature_engineering_spark.operators.lagging import (
+    lag_lead_delta,
+    rolling_causal_stats,
+)
+from feature_engineering_spark.operators.sessionize import sessionize
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------- W5
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        epoch_micros(F.min("ts")).alias("session_start_us"),
+        epoch_micros(F.max("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_rows"),
+        _r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------- W6
+def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = lag_lead_delta(ev, key="user_id", ts="ts", value="value",
+                         order_tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        _r6(F.col("prev_value")).alias("prev_value"),
+        _r6(F.col("next_value")).alias("next_value"),
+        _r6(F.col("delta_prev")).alias("delta_prev"),
+        _r6(F.col("delta_next")).alias("delta_next"),
+        _r6(F.col("dt_prev_s")).alias("dt_prev_s"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id,
+       ROUND(LAG(value) OVER w, 6) AS prev_value,
+       ROUND(LEAD(value) OVER w, 6) AS next_value,
+       ROUND(value - LAG(value) OVER w, 6) AS delta_prev,
+       ROUND(LEAD(value) OVER w - value, 6) AS delta_next,
+       ROUND(epoch(ts) - epoch(LAG(ts) OVER w), 6) AS dt_prev_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------- §2.6 subset
+def q_rolling_causal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_causal_stats(ev, key="user_id", ts="ts", value="value",
+                               k=10, order_tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        _r6(F.col("roll_mean")).alias("roll_mean"),
+        _r6(F.col("roll_std")).alias("roll_std"),
+        F.col("roll_min").alias("roll_min"),
+        F.col("roll_max").alias("roll_max"),
+        F.col("roll_cnt").alias("roll_cnt"),
+    )
+
+
+SQL_ROLLING = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER w, 6) AS roll_mean,
+       ROUND(STDDEV_POP(value) OVER w, 6) AS roll_std,
+       MIN(value) OVER w AS roll_min,
+       MAX(value) OVER w AS roll_max,
+       COUNT(value) OVER w AS roll_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------- J1
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    # customer is the dimension side — broadcast it explicitly.
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r6(F.sum("o_totalprice")).alias("sum_price"),
+        _r6(F.avg("c_acctbal")).alias("avg_acctbal"),
+    )
+
+
+SQL_JOIN_OC = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS sum_price,
+       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- A1-A5 suite
+def q_group_topstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r6(F.sum("l_quantity")).alias("sum_qty"),
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        _r6(F.avg("l_quantity")).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.expr("percentile_approx(l_quantity, 0.9, 1000000)")).alias("p90_qty"),
+    )
+
+
+# NOTE p90: percentile_approx with high accuracy == exact discrete
+# percentile on this data; DuckDB quantile_disc matches (both pick an
+# actual data value at the 0.9 position over sorted input).
+SQL_GROUP_TOPSTATS = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n,
+       ROUND(quantile_disc(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- O6
+def q_causal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    out = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_user", F.count(F.lit(1)).over(wc)
+    )
+    out = out.withColumn(
+        "split",
+        F.when(F.col("rn") <= F.floor(F.col("n_user") * 0.8), F.lit("train"))
+        .otherwise(F.lit("test")),
+    )
+    return out.groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
+
+
+SQL_CAUSAL_SPLIT = """
+WITH r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_user
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN rn <= CAST(FLOOR(n_user * 0.8) AS BIGINT) THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n, MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+FROM r GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- P3
+def q_filter_array_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference speed-filter semantics (get_features.py:217-222): keep a
+    group only if NO element of its value sequence is below the threshold —
+    expressed on ArrayType via array_min over the collected sequence."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("rows")
+    )
+    seqs = seqs.select(
+        "user_id",
+        F.col("rows.value").alias("seq"),
+    )
+    return seqs.where(F.array_min("seq") >= F.lit(1.0)).select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        F.array_min("seq").alias("min_value"),
+    )
+
+
+SQL_FILTER_ARRAY_MIN = """
+SELECT user_id, CAST(COUNT(*) AS INT) AS n_events, MIN(value) AS min_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id HAVING MIN(value) >= 1.0
+"""
+
+
+# ---------------------------------------------------------------- P12
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- J2
+def q_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment → O(n) bucket id (data_transforms.py:37-61
+    loop replaced by floor-division: no theta join at any scale)."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(epoch_seconds("ts") / F.lit(600.0))
+    return (
+        ev.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+SQL_BUCKET_ASSIGN = """
+SELECT CAST(FLOOR(epoch(ts) / 600.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- A7
+def q_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-variance detection (analysis.py:306-311) as one aggregate row
+    per column — long format (col_name, var_pop, keep)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.round(F.var_pop(c), 4).alias(c) for c in cols]
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    long = wide.selectExpr(f"stack({len(cols)}, {stack}) as (col_name, var_pop)")
+    return long.withColumn("keep", (F.col("var_pop") > 0).cast("int"))
+
+
+SQL_VARIANCE_PRUNE = """
+WITH w AS (
+  SELECT ROUND(VAR_POP(l_quantity), 4) AS l_quantity,
+         ROUND(VAR_POP(l_extendedprice), 4) AS l_extendedprice,
+         ROUND(VAR_POP(l_discount), 4) AS l_discount,
+         ROUND(VAR_POP(l_tax), 4) AS l_tax
+  FROM lineitem
+)
+SELECT col_name, var_pop, CAST(var_pop > 0 AS INT) AS keep
+FROM (
+  SELECT 'l_quantity' AS col_name, l_quantity AS var_pop FROM w
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM w
+  UNION ALL SELECT 'l_discount', l_discount FROM w
+  UNION ALL SELECT 'l_tax', l_tax FROM w
+)
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessionize_events": q_sessionize_events,
+    "lag_lead_delta": q_lag_lead_delta,
+    "rolling_causal_stats": q_rolling_causal_stats,
+    "join_orders_customer": q_join_orders_customer,
+    "group_topstats": q_group_topstats,
+    "causal_split": q_causal_split,
+    "filter_array_min": q_filter_array_min,
+    "json_extract_props": q_json_extract_props,
+    "bucket_assign": q_bucket_assign,
+    "variance_prune": q_variance_prune,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "sessionize_events": SQL_SESSIONIZE,
+    "lag_lead_delta": SQL_LAG_LEAD,
+    "rolling_causal_stats": SQL_ROLLING,
+    "join_orders_customer": SQL_JOIN_OC,
+    "group_topstats": SQL_GROUP_TOPSTATS,
+    "causal_split": SQL_CAUSAL_SPLIT,
+    "filter_array_min": SQL_FILTER_ARRAY_MIN,
+    "json_extract_props": SQL_JSON_EXTRACT,
+    "bucket_assign": SQL_BUCKET_ASSIGN,
+    "variance_prune": SQL_VARIANCE_PRUNE,
+}

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing uses ``local[N]``; the same confs are what we would
+submit to a real cluster (AQE, Arrow, skew-join). Keep every tunable in
+one place so bench runs can report the exact config.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs chosen for the 100 TB design point, applied identically in
+# local-mode tests so the plans we inspect are the plans we'd ship:
+# - AQE on: runtime coalescing + skew-join splitting.
+# - Arrow on with a bounded batch size: one applyInPandas group should
+#   arrive in as few batches as possible without OOMing an executor.
+# - shuffle.partitions set to cores locally; on a real cluster this is
+#   ~2-3x total executor cores (AQE coalesces the tail).
+_BASE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+}
+
+
+def get_spark(
+    app_name: str = "feature_engineering_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster pass ~2-3x total cores and let AQE coalesce.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in _BASE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

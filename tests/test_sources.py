@@ -1,0 +1,54 @@
+"""Generator contracts from FIXTURES.md F1/F2: determinism, skew,
+monotone per-url timestamps, session-gap structure, byte-stable html."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from feature_engineering_spark.sources.pages import generate_labels, generate_pages
+
+
+def test_deterministic():
+    a = generate_pages(2000, seed=42)
+    b = generate_pages(2000, seed=42)
+    assert a.equals(b)
+    la = generate_labels(2000, seed=42)
+    lb = generate_labels(2000, seed=42)
+    assert la.equals(lb)
+
+
+def test_schema_and_shapes(pages_pdf):
+    assert list(pages_pdf.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    assert len(pages_pdf) == 5000
+    assert pages_pdf["html"].map(type).eq(bytes).all()
+    assert set(pages_pdf["lang"].unique()) <= {"en", "de", "da", "fr"}
+
+
+def test_hot_domain_skew(pages_pdf):
+    dom = pages_pdf["url"].str.extract(r"https://([^/]+)/")[0]
+    hot = dom.isin(["site00.example.com", "site01.example.com"]).mean()
+    assert 0.45 < hot < 0.75, f"hot-domain share {hot}"
+
+
+def test_per_url_monotone_ts_and_gaps(pages_pdf):
+    g = pages_pdf.groupby("url")["warc_ts"]
+    diffs = g.diff().dt.total_seconds().dropna()
+    assert (diffs > 0).all()
+    assert (diffs > 1800).mean() > 0.01  # some session-breaking gaps
+    assert ((diffs >= 30) & (diffs <= 600)).mean() > 0.8
+
+
+def test_html_derived_from_text(pages_pdf):
+    row = pages_pdf.iloc[7]
+    assert row["html"] == f"<html><body>{row['text']}</body></html>".encode()
+
+
+def test_labels_shape(labels_pdf):
+    assert list(labels_pdf.columns) == ["url", "label_ts", "iri", "defect_counts"]
+    assert labels_pdf["iri"].between(0.5, 5.0).all()
+    assert all(len(c) == 15 for c in labels_pdf["defect_counts"])
+    # labels cover a strict subset of page urls
+    purls = set(generate_pages(5000, seed=42)["url"].unique())
+    lurls = set(labels_pdf["url"].unique())
+    assert lurls < purls
+    assert np.mean([u in lurls for u in purls]) < 0.95
