@@ -314,7 +314,156 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------- J3/J4
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: each click joined to the user's latest purchase at or
+    before it (strictly causal). Union+window strategy — one shuffle."""
+    from feature_engineering_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    j = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_cols=["value"], direction="backward", strategy="union",
+    )
+    return j.select(
+        "event_id", "user_id",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        epoch_micros(F.col("matched_ts")).alias("matched_ts_us"),
+        F.col("value_r").alias("purchase_value"),
+    )
+
+
+SQL_ASOF = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS matched_ts_us, r.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a max-staleness reject — the reference's max_distance
+    filter (matching.pyc do_kNN_matching, 10 m ≙ 600 s here)."""
+    from feature_engineering_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    j = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_cols=["value"], direction="backward",
+        tolerance_seconds=600.0, strategy="union",
+    )
+    return j.select(
+        "event_id", "user_id",
+        epoch_micros(F.col("matched_ts")).alias("matched_ts_us"),
+        F.col("value_r").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_TOL = """
+SELECT l.event_id, l.user_id,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 600.0 THEN epoch_us(r.ts) END
+         AS matched_ts_us,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 600.0 THEN r.value END
+         AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_backfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward+forward as-of with linear interpolation (J5+W8 backfill)."""
+    from feature_engineering_spark.operators.asof import backfill_asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("label_ts"), F.col("value").alias("sig")
+    )
+    b = backfill_asof(clicks, errors, on="user_id", left_ts="ts",
+                      right_ts="label_ts", value="sig")
+    return b.select(
+        "event_id", "user_id",
+        epoch_micros(F.col("prev_ts")).alias("prev_ts_us"),
+        epoch_micros(F.col("next_ts")).alias("next_ts_us"),
+        _r6(F.col("sig_interp")).alias("sig_interp"),
+    )
+
+
+SQL_BACKFILL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     errs AS (SELECT user_id, ts AS label_ts, value AS sig FROM events
+              WHERE event_type = 'error'),
+     b AS (
+       SELECT c.event_id, c.user_id, c.ts, r.label_ts AS prev_ts, r.sig AS sig_prev
+       FROM clicks c ASOF LEFT JOIN errs r
+         ON c.user_id = r.user_id AND c.ts >= r.label_ts
+     ),
+     f AS (
+       SELECT b.*, r.label_ts AS next_ts, r.sig AS sig_next
+       FROM b ASOF LEFT JOIN errs r
+         ON b.user_id = r.user_id AND b.ts <= r.label_ts
+     )
+SELECT event_id, user_id,
+       epoch_us(prev_ts) AS prev_ts_us,
+       epoch_us(next_ts) AS next_ts_us,
+       ROUND(CASE
+         WHEN sig_prev IS NOT NULL AND sig_next IS NOT NULL
+              AND epoch(next_ts) != epoch(prev_ts)
+           THEN sig_prev + (sig_next - sig_prev)
+                * (epoch(ts) - epoch(prev_ts)) / (epoch(next_ts) - epoch(prev_ts))
+         WHEN sig_prev IS NOT NULL THEN sig_prev
+         ELSE sig_next END, 6) AS sig_interp
+FROM f
+"""
+
+
+# ---------------------------------------------------------------- W1/W2
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding grid windows (size 600s, step 60s, left-closed right-open)
+    via window-id expansion: explode(sequence(...)) then one groupBy — no
+    theta/range join at any scale (replaces data_loaders.py:467-496 loop)."""
+    ev = _t(spark, sf_dir, "events")
+    t = epoch_seconds("ts")
+    lo = (F.floor((t - F.lit(600.0)) / F.lit(60.0)) + F.lit(1)).cast("long")
+    hi = F.floor(t / F.lit(60.0)).cast("long")
+    win = ev.withColumn("win_id", F.explode(F.sequence(lo, hi)))
+    return (
+        win.groupBy("user_id", "win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(F.avg("value")).alias("avg_value"),
+            F.min("event_id").alias("first_eid"),
+            F.max("event_id").alias("last_eid"),
+        )
+    )
+
+
+SQL_SLIDING = """
+WITH expanded AS (
+  SELECT user_id, event_id, value,
+         unnest(generate_series(
+           CAST(FLOOR((epoch(ts) - 600.0) / 60.0) AS BIGINT) + 1,
+           CAST(FLOOR(epoch(ts) / 60.0) AS BIGINT)
+         )) AS win_id
+  FROM events
+)
+SELECT user_id, win_id, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value,
+       MIN(event_id) AS first_eid, MAX(event_id) AS last_eid
+FROM expanded GROUP BY user_id, win_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_join_events": q_asof_join_events,
+    "asof_join_tolerance": q_asof_join_tolerance,
+    "backfill_interp": q_backfill_interp,
+    "sliding_window_agg": q_sliding_window_agg,
     "sessionize_events": q_sessionize_events,
     "lag_lead_delta": q_lag_lead_delta,
     "rolling_causal_stats": q_rolling_causal_stats,
@@ -328,6 +477,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "asof_join_events": SQL_ASOF,
+    "asof_join_tolerance": SQL_ASOF_TOL,
+    "backfill_interp": SQL_BACKFILL,
+    "sliding_window_agg": SQL_SLIDING,
     "sessionize_events": SQL_SESSIONIZE,
     "lag_lead_delta": SQL_LAG_LEAD,
     "rolling_causal_stats": SQL_ROLLING,

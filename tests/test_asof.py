@@ -1,0 +1,126 @@
+"""As-of join engine vs pandas merge_asof (the published reference
+semantics for backward/forward/tolerance matching)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feature_engineering_spark.operators.asof import asof_join, backfill_asof
+
+
+def _oracle_asof(pages, labels, direction="backward", tol=None):
+    out = []
+    for url, lg in pages.sort_values(["url", "warc_ts"], kind="stable").groupby("url"):
+        rg = labels[labels["url"] == url].sort_values("label_ts", kind="stable")
+        rg = rg.rename(columns={"label_ts": "matched_ts"})
+        kw = {"tolerance": pd.Timedelta(seconds=tol)} if tol else {}
+        m = pd.merge_asof(
+            lg, rg[["matched_ts", "iri"]].assign(__t=rg["matched_ts"]),
+            left_on="warc_ts", right_on="__t", direction=direction, **kw,
+        )
+        out.append(m.drop(columns="__t"))
+    return pd.concat(out, ignore_index=True)
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+@pytest.mark.parametrize("direction,tol", [
+    ("backward", None), ("forward", None), ("backward", 3600.0),
+])
+def test_asof_matches_merge_asof(spark, pages_pdf, labels_pdf, pages_df, labels_df,
+                                 strategy, direction, tol):
+    got = (
+        asof_join(
+            pages_df, labels_df, on="url", left_ts="warc_ts", right_ts="label_ts",
+            direction=direction, tolerance_seconds=tol, right_cols=["iri"],
+            strategy=strategy,
+        )
+        .select("url", "warc_ts", "matched_ts", "iri")
+        .toPandas()
+        .sort_values(["url", "warc_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = _oracle_asof(pages_pdf, labels_pdf, direction, tol)[
+        ["url", "warc_ts", "matched_ts", "iri"]
+    ].reset_index(drop=True)
+    assert len(got) == len(exp) == len(pages_pdf)
+    assert (got["url"] == exp["url"]).all()
+    assert got["matched_ts"].isna().equals(exp["matched_ts"].isna())
+    both = got["matched_ts"].notna()
+    assert (got.loc[both, "matched_ts"].to_numpy()
+            == exp.loc[both, "matched_ts"].to_numpy()).all()
+    assert np.allclose(got["iri"], exp["iri"], equal_nan=True)
+
+
+def test_asof_exact_ts_match_included(spark):
+    """Exact-timestamp right rows match in BOTH directions (merge_asof
+    allow_exact_matches=True semantics)."""
+    left = pd.DataFrame({
+        "url": ["u", "u"],
+        "warc_ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00"]),
+    })
+    right = pd.DataFrame({
+        "url": ["u", "u"],
+        "label_ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 13:00"]),
+        "iri": [1.0, 2.0],
+    })
+    for direction, exp in [("backward", [1.0, 1.0]), ("forward", [1.0, 2.0])]:
+        got = (
+            asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                      right_ts="label_ts", direction=direction, right_cols=["iri"])
+            .orderBy("warc_ts").toPandas()
+        )
+        assert got["iri"].tolist() == exp, direction
+
+
+def test_asof_no_label_urls_null(spark, pages_df, labels_df, labels_pdf):
+    got = asof_join(pages_df, labels_df, right_ts="label_ts", right_cols=["iri"])
+    unlabeled = got.where(~got["url"].isin(list(labels_pdf["url"].unique())))
+    n = unlabeled.count()
+    assert n > 0
+    assert unlabeled.where(unlabeled["iri"].isNotNull()).count() == 0
+
+
+def test_backfill_interpolation(spark):
+    left = pd.DataFrame({
+        "url": ["u"] * 3,
+        "warc_ts": pd.to_datetime(
+            ["2024-01-01 10:30", "2024-01-01 09:00", "2024-01-01 23:00"]
+        ),
+    })
+    right = pd.DataFrame({
+        "url": ["u", "u"],
+        "label_ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00"]),
+        "iri": [1.0, 3.0],
+    })
+    got = (
+        backfill_asof(spark.createDataFrame(left), spark.createDataFrame(right),
+                      right_ts="label_ts", value="iri")
+        .orderBy("warc_ts").toPandas()
+    )
+    # 09:00 → before all labels: bfill to 1.0; 10:30 → halfway: 2.0;
+    # 23:00 → after all labels: ffill to 3.0
+    assert np.allclose(got["iri_interp"].tolist(), [1.0, 2.0, 3.0])
+    assert got.loc[0, "prev_ts"] is pd.NaT or pd.isna(got.loc[0, "prev_ts"])
+    assert pd.isna(got.loc[2, "next_ts"])
+
+
+def test_asof_strictly_causal_leakage_probe(spark, pages_pdf, labels_pdf):
+    """Zero-leakage gate (north_rule): mutate every label strictly after a
+    cutoff T; backward as-of results at ts <= T must be bit-identical."""
+    cutoff = pd.Timestamp("2024-01-15")
+    mutated = labels_pdf.copy()
+    after = mutated["label_ts"] > cutoff
+    mutated.loc[after, "iri"] = mutated.loc[after, "iri"] * 1000 + 7
+    base_df = spark.createDataFrame(pages_pdf)
+    a = asof_join(base_df, spark.createDataFrame(labels_pdf),
+                  right_ts="label_ts", right_cols=["iri"])
+    b = asof_join(base_df, spark.createDataFrame(mutated),
+                  right_ts="label_ts", right_cols=["iri"])
+    pa = a.where(a["warc_ts"] <= pd.Timestamp(cutoff)).toPandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    pb = b.where(b["warc_ts"] <= pd.Timestamp(cutoff)).toPandas().sort_values(
+        ["url", "warc_ts"]).reset_index(drop=True)
+    assert len(pa) > 100
+    assert pa["iri"].equals(pb["iri"])  # bit-identical, not allclose
