@@ -1,0 +1,134 @@
+"""Sliding-window segmentation + per-window feature extraction
+(SURVEY.md W1-W3 + §2.6).
+
+Reference semantics reproduced deliberately (each is pinned by a test):
+- window membership is INCLUSIVE on both ends (``between`` —
+  /root/reference/utils/data_loaders.py:470-471), so boundary rows belong
+  to two adjacent grid windows;
+- per-window statistics and the stored sequence EXCLUDE the last row of
+  the window (``[:-1]`` — data_loaders.py:483,492-493);
+- windows with fewer than ``min_points`` samples (post-slice) are dropped
+  (data_transforms.py:56-58 uses 10);
+- the grid snaps to multiples of ``step`` (data_transforms.py:30-31);
+- ECDF Percentile features are null for sequences of <= 20 points
+  (analysis.py:195-198).
+
+Physical plan: ONE hash shuffle on the entity key, then a single
+``applyInPandas`` per key group does grid construction (searchsorted over
+the sorted timestamps — windows are contiguous slices) and the 35-feature
+kernel per signal. No second shuffle for the window group-by, no exploded
+row blow-up (the naive explode(sequence) expansion multiplies rows by
+window_size/step — 10x at defaults — before aggregating; this operator
+never materializes that).
+
+Scale: a single url group must fit one Python worker's memory. Page
+streams per url are bounded in practice (even a crawl revisiting a url
+hourly for 10 years is ~90k rows); truly pathological keys go through
+operators/skew.salted_window_features which range-splits hot keys with a
+``window_size`` halo so every window stays complete.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.functions.features import (
+    FEATURE_NAMES,
+    compute_features,
+    feature_columns,
+)
+from feature_engineering_spark.functions.timeutil import epoch_seconds
+
+
+def window_feature_schema(
+    key: str, signals: Iterable[str], include_sequences: bool = False
+) -> T.StructType:
+    fields = [
+        T.StructField(key, T.StringType(), False),
+        T.StructField("win_start", T.DoubleType(), False),
+        T.StructField("win_end", T.DoubleType(), False),
+        T.StructField("n_points", T.LongType(), False),
+    ]
+    for s in signals:
+        if include_sequences:
+            fields.append(T.StructField(f"{s}_seq", T.ArrayType(T.DoubleType()), True))
+        fields.extend(T.StructField(c, T.DoubleType(), True) for c in feature_columns(s))
+    return T.StructType(fields)
+
+
+def sliding_window_features(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    signals: Iterable[str] = ("n_chars",),
+    window_size: float = 600.0,
+    step: float = 60.0,
+    min_points: int = 10,
+    exclusive_end: bool = True,
+    include_sequences: bool = False,
+) -> DataFrame:
+    """One row per (key, grid window) with 35 features per signal.
+
+    ``win_start``/``win_end`` are epoch seconds of the grid boundaries
+    (window = [win_start, win_start + window_size], inclusive).
+    """
+    signals = list(signals)
+    schema = window_feature_schema(key, signals, include_sequences)
+    out_cols = [f.name for f in schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__t", kind="stable")
+        t = pdf["__t"].to_numpy(dtype="float64")
+        if len(t) == 0:
+            return pd.DataFrame(columns=out_cols)
+        k = pdf[key].iloc[0]
+        first = np.floor(t[0] / step) * step
+        starts = np.arange(first, t[-1] + 1e-9, step)
+        lo = np.searchsorted(t, starts - 1e-9, side="left")
+        hi = np.searchsorted(t, starts + window_size + 1e-9, side="right")
+        sig_vals = {s: pdf[s].to_numpy(dtype="float64") for s in signals}
+        rows = []
+        for w, i0, i1 in zip(starts, lo, hi):
+            n = i1 - i0
+            end = n - 1 if exclusive_end else n
+            if end < min_points:
+                continue
+            row = [k, float(w), float(w + window_size), int(end)]
+            for s in signals:
+                seq = sig_vals[s][i0 : i0 + end]
+                if include_sequences:
+                    row.append(seq.tolist())
+                row.extend(compute_features(seq))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    prepared = df.select(
+        F.col(key),
+        epoch_seconds(ts).alias("__t"),
+        *[F.col(s).cast("double").alias(s) for s in signals],
+    )
+    return prepared.groupBy(key).applyInPandas(kernel, schema=schema)
+
+
+def derive_text_signals(df: DataFrame, text: str = "text") -> DataFrame:
+    """Numeric per-page signals derived from text — the web-page analog of
+    the reference's sensor channels (get_features.py:109-124). Pure JVM
+    column expressions; the text column itself passes through untouched
+    (byte-identity invariant)."""
+    t = F.col(text)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return (
+        df.withColumn("n_chars", F.length(t).cast("double"))
+        .withColumn("n_tokens", n_tokens.cast("double"))
+        .withColumn(
+            "digit_ratio",
+            F.when(F.length(t) > 0, n_digits / F.length(t)).otherwise(F.lit(0.0)),
+        )
+    )
