@@ -47,10 +47,13 @@ from feature_engineering_spark.functions.timeutil import epoch_seconds
 
 
 def window_feature_schema(
-    key: str, signals: Iterable[str], include_sequences: bool = False
+    key: str,
+    signals: Iterable[str],
+    include_sequences: bool = False,
+    key_type: T.DataType | None = None,
 ) -> T.StructType:
     fields = [
-        T.StructField(key, T.StringType(), False),
+        T.StructField(key, key_type or T.StringType(), False),
         T.StructField("win_start", T.DoubleType(), False),
         T.StructField("win_end", T.DoubleType(), False),
         T.StructField("n_points", T.LongType(), False),
@@ -79,7 +82,9 @@ def sliding_window_features(
     (window = [win_start, win_start + window_size], inclusive).
     """
     signals = list(signals)
-    schema = window_feature_schema(key, signals, include_sequences)
+    schema = window_feature_schema(
+        key, signals, include_sequences, key_type=df.schema[key].dataType
+    )
     out_cols = [f.name for f in schema.fields]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

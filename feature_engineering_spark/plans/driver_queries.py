@@ -459,7 +459,78 @@ FROM expanded GROUP BY user_id, win_id
 """
 
 
+# ---------------------------------------------------------------- W1-W3 + §2.6
+# events at sf0.01 average one event per user every ~10.7h over 30 days →
+# 4-day windows stepping 1 day hold ~9 points each (non-vacuous at sf0.01,
+# denser at sf0.1); overlap factor 4 exercises the boundary semantics.
+_WSIZE, _WSTEP, _WMIN = 345600.0, 86400.0, 5
+
+
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable subset of the window kernel: grid windows with the
+    reference's inclusive-boundary + exclusive-end `[:-1]` semantics
+    (data_loaders.py:470-483), stats mean/std(pop)/min/max/count."""
+    from feature_engineering_spark.operators.windows import sliding_window_features
+
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_window_features(
+        ev, key="user_id", ts="ts", signals=("value",),
+        window_size=_WSIZE, step=_WSTEP, min_points=_WMIN,
+    )
+    return w.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("win_start"),
+        F.col("n_points"),
+        _r6(F.col("`value-0_Mean`")).alias("w_mean"),
+        _r6(F.col("`value-0_Standard deviation`")).alias("w_std"),
+        F.col("`value-0_Min`").alias("w_min"),
+        F.col("`value-0_Max`").alias("w_max"),
+    )
+
+
+SQL_WINDOW_STATS = f"""
+WITH bounds AS (
+  SELECT user_id, MIN(epoch(ts)) AS t0 FROM events GROUP BY user_id
+), expanded AS (
+  SELECT e.user_id, e.ts, e.event_id, e.value,
+         unnest(generate_series(
+           GREATEST(CAST(CEIL((epoch(e.ts) - {_WSIZE}) / {_WSTEP}) AS BIGINT),
+                    CAST(FLOOR(b.t0 / {_WSTEP}) AS BIGINT)),
+           CAST(FLOOR(epoch(e.ts) / {_WSTEP}) AS BIGINT)
+         )) AS win_idx
+  FROM events e JOIN bounds b USING (user_id)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, win_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM expanded
+)
+SELECT user_id, win_idx * {_WSTEP} AS win_start,
+       COUNT(*) AS n_points,
+       ROUND(AVG(value), 6) AS w_mean,
+       ROUND(STDDEV_POP(value), 6) AS w_std,
+       MIN(value) AS w_min, MAX(value) AS w_max
+FROM ranked WHERE rn_desc > 1
+GROUP BY user_id, win_idx HAVING COUNT(*) >= {_WMIN}
+"""
+
+
+def q_window_features_35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 35-feature matrix per (user_id, window) — the reference's
+    feature_extraction stage (analysis.py:153-219). Not SQL-expressible
+    (driver records rows-only); numerics pinned by tests/test_features.py
+    hand vectors + tests/oracle.py parity."""
+    from feature_engineering_spark.operators.windows import sliding_window_features
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_features(
+        ev, key="user_id", ts="ts", signals=("value",),
+        window_size=_WSIZE, step=_WSTEP, min_points=_WMIN,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_stats": q_window_stats,
+    "window_features_35": q_window_features_35,
     "asof_join_events": q_asof_join_events,
     "asof_join_tolerance": q_asof_join_tolerance,
     "backfill_interp": q_backfill_interp,
@@ -477,6 +548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "window_stats": SQL_WINDOW_STATS,
     "asof_join_events": SQL_ASOF,
     "asof_join_tolerance": SQL_ASOF_TOL,
     "backfill_interp": SQL_BACKFILL,
