@@ -39,8 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feature_engineering_spark.functions.features import (
-    FEATURE_NAMES,
-    compute_features,
+    compute_features_batch,
     feature_columns,
 )
 from feature_engineering_spark.functions.timeutil import epoch_seconds
@@ -97,21 +96,27 @@ def sliding_window_features(
         starts = np.arange(first, t[-1] + 1e-9, step)
         lo = np.searchsorted(t, starts - 1e-9, side="left")
         hi = np.searchsorted(t, starts + window_size + 1e-9, side="right")
-        sig_vals = {s: pdf[s].to_numpy(dtype="float64") for s in signals}
-        rows = []
-        for w, i0, i1 in zip(starts, lo, hi):
-            n = i1 - i0
-            end = n - 1 if exclusive_end else n
-            if end < min_points:
-                continue
-            row = [k, float(w), float(w + window_size), int(end)]
-            for s in signals:
-                seq = sig_vals[s][i0 : i0 + end]
-                if include_sequences:
-                    row.append(seq.tolist())
-                row.extend(compute_features(seq))
-            rows.append(row)
-        return pd.DataFrame(rows, columns=out_cols)
+        ends = (hi - lo) - (1 if exclusive_end else 0)
+        keep = ends >= min_points
+        starts, lo, ends = starts[keep], lo[keep], ends[keep]
+        if len(starts) == 0:
+            return pd.DataFrame(columns=out_cols)
+        data: dict = {
+            key: np.repeat(k, len(starts)),
+            "win_start": starts,
+            "win_end": starts + window_size,
+            "n_points": ends.astype("int64"),
+        }
+        for s in signals:
+            vals = pdf[s].to_numpy(dtype="float64")
+            if include_sequences:
+                data[f"{s}_seq"] = [
+                    vals[i0 : i0 + n].tolist() for i0, n in zip(lo, ends)
+                ]
+            feats = compute_features_batch(vals, lo, ends)
+            for j, c in enumerate(feature_columns(s)):
+                data[c] = feats[:, j]
+        return pd.DataFrame(data, columns=out_cols)
 
     prepared = df.select(
         F.col(key),

@@ -1,0 +1,122 @@
+"""End-to-end feature-extraction job — the engine's flagship pipeline,
+runnable via spark-submit (north_rule):
+
+    spark-submit --master local[32] --py-files fes.zip jobs/extract_features.py \
+        --pages /path/pages.parquet --out /path/run --rows 200000
+
+Pipeline (the generalization of /root/reference/get_features.py E1 + the
+matching.pyc alignment stage E0):
+  1. pages scan (or synthesize the deterministic fixture if --rows given)
+  2. derive numeric text signals (n_chars, n_tokens, digit_ratio)
+  3. sessionize (30-min gap on warc_ts per url)
+  4. as-of join labels (strictly causal backward match + tolerance)
+  5. salted sliding-window 35-feature extraction
+Each stage is checkpointed with lineage rows (resume = rerun the command).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from feature_engineering_spark.operators.asof import asof_join  # noqa: E402
+from feature_engineering_spark.operators.sessionize import sessionize  # noqa: E402
+from feature_engineering_spark.operators.skew import salted_window_features  # noqa: E402
+from feature_engineering_spark.operators.windows import derive_text_signals  # noqa: E402
+from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
+from feature_engineering_spark.session import get_spark  # noqa: E402
+
+
+def run(spark, pages_path: str | None, out_root: str, n_rows: int,
+        window_size: float, step: float, min_points: int) -> dict:
+    p = Pipeline(spark, out_root)
+    t_start = time.monotonic()
+
+    def load_pages():
+        if pages_path:
+            return spark.read.parquet(pages_path)
+        import tempfile
+
+        from feature_engineering_spark.sources.pages import write_pages_parquet
+
+        tmp = os.path.join(out_root, "_input", "pages.parquet")
+        if not os.path.exists(tmp):
+            write_pages_parquet(tmp, n_rows, seed=42)
+        return spark.read.parquet(tmp)
+
+    pages = p.stage("pages", load_pages, ts_col="warc_ts")
+    n_pages = pages.count()
+
+    signals = p.stage(
+        "signals",
+        lambda: derive_text_signals(pages).select(
+            "url", "warc_ts", "n_chars", "n_tokens", "digit_ratio"
+        ),
+        ts_col="warc_ts",
+    )
+
+    sessions = p.stage(
+        "sessions",
+        lambda: sessionize(signals, "url", "warc_ts", 1800),
+        ts_col="warc_ts",
+    )
+
+    def build_labeled():
+        from feature_engineering_spark.sources.pages import write_labels_parquet
+
+        lab_path = os.path.join(out_root, "_input", "labels.parquet")
+        if not os.path.exists(lab_path):
+            write_labels_parquet(lab_path, n_rows, seed=42)
+        labels = spark.read.parquet(lab_path)
+        return asof_join(
+            sessions, labels, on="url", left_ts="warc_ts", right_ts="label_ts",
+            right_cols=["iri"], direction="backward",
+            tolerance_seconds=7 * 86400.0,
+        )
+
+    labeled = p.stage("labeled", build_labeled, ts_col="warc_ts")
+
+    features = p.stage(
+        "features",
+        lambda: salted_window_features(
+            labeled, key="url", ts="warc_ts",
+            signals=("n_chars", "n_tokens", "digit_ratio"),
+            window_size=window_size, step=step, min_points=min_points,
+            target_rows_per_task=100_000,
+        ),
+    )
+    n_feat = features.count()
+    wall = time.monotonic() - t_start
+    return {
+        "pages": n_pages,
+        "feature_rows": n_feat,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_pages / wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", default=None, help="input pages parquet (else synthesize)")
+    ap.add_argument("--out", default="/tmp/fes_run")
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--window", type=float, default=3600.0)
+    ap.add_argument("--step", type=float, default=360.0)
+    ap.add_argument("--min-points", type=int, default=5)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark("extract_features", master=args.master)
+    stats = run(spark, args.pages, args.out, args.rows,
+                args.window, args.step, args.min_points)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,3 +108,51 @@ def test_compute_features_order():
     vals = compute_features(X)
     assert len(vals) == 35
     assert vals[FEATURE_NAMES.index("Mean")] == 3.5
+
+
+def test_batch_equals_single():
+    """compute_features_batch (2-D stacks, grouped by length) is
+    allclose-equal to the per-window path across mixed lengths/values."""
+    from feature_engineering_spark.functions.features import compute_features_batch
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(0, 3, 400),
+        rng.integers(0, 3, 300).astype("float64"),
+        np.full(100, 1.5),
+    ])
+    lo = rng.integers(0, 700, 250)
+    lengths = rng.choice([1, 2, 3, 6, 21, 25, 40, 80], 250)
+    got = compute_features_batch(vals, lo, lengths)
+    for i in range(250):
+        exp = np.array(compute_features(vals[lo[i] : lo[i] + lengths[i]]))
+        assert np.allclose(got[i], exp, rtol=1e-9, atol=1e-12, equal_nan=True), (
+            i, lengths[i],
+            [FEATURE_NAMES[j] for j in range(35)
+             if not np.allclose(got[i, j], exp[j], rtol=1e-9, atol=1e-12, equal_nan=True)],
+        )
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 20, 21, 25, 40, 100, 997])
+@pytest.mark.parametrize("kind", ["cont", "disc", "const", "signed"])
+def test_fast_equals_registry(n, kind):
+    """The fused fast path is bit-identical to the registry dispatch."""
+    from feature_engineering_spark.functions.features import compute_features_slow
+
+    rng = np.random.default_rng(n * 1000 + hash(kind) % 97)
+    if kind == "cont":
+        x = rng.normal(5, 3, n)
+    elif kind == "disc":
+        x = rng.integers(0, 4, n).astype("float64")
+    elif kind == "const":
+        x = np.full(n, 2.5)
+    else:
+        x = rng.normal(0, 1, n)
+    fast = np.array(compute_features(x))
+    slow = np.array(compute_features_slow(x))
+    mism = [
+        FEATURE_NAMES[i]
+        for i in range(35)
+        if not (fast[i] == slow[i] or (np.isnan(fast[i]) and np.isnan(slow[i])))
+    ]
+    assert not mism, mism
