@@ -1,0 +1,109 @@
+"""Worker-side window kernel — deliberately imports ONLY numpy/pandas.
+
+This module is what mapInPandas workers unpickle. Keeping pyspark out of
+its import graph matters operationally: a Python worker's first task pays
+the closure module's import cost, and importing pyspark (~3-4 s) times 32
+workers under CPU contention was measured to add a ~15 s anti-scaling
+floor to the whole job. numpy/pandas are already loaded by the Arrow
+serializer, so first-use cost here is ~0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from feature_engineering_spark.functions.features import (
+    compute_features_batch,
+    feature_columns,
+)
+
+
+def make_partition_window_mapper(
+    key: str,
+    signals: list[str],
+    out_cols: list[str],
+    window_size: float,
+    step: float,
+    min_points: int,
+    exclusive_end: bool,
+    include_sequences: bool,
+    bounds_cols: tuple[str, str, str, str] | None = None,
+):
+    """Build the per-partition mapper for mapInPandas.
+
+    Input partitions are sorted by (key[, __chunk], __t). Grid construction
+    is cheap per-group numpy (arange + searchsorted on the group's slice);
+    all windows in the partition then flow through ONE
+    compute_features_batch call per signal and ONE output frame — Python
+    and Arrow overhead is per-partition, not per-group.
+
+    ``bounds_cols`` (salted path) = (t0s, t1, chunk_lo, chunk_hi) column
+    names: per-group grid-range overrides + window-ownership filter.
+    """
+    group_cols = [key] if bounds_cols is None else [key, "__chunk"]
+
+    def mapper(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        t = pdf["__t"].to_numpy(dtype="float64")
+        gkeys = [pdf[c].to_numpy() for c in group_cols]
+        new_grp = np.zeros(len(pdf), dtype=bool)
+        new_grp[0] = True
+        for gk in gkeys:
+            new_grp[1:] |= gk[1:] != gk[:-1]
+        g_lo = np.flatnonzero(new_grp)
+        g_hi = np.r_[g_lo[1:], len(pdf)]
+
+        all_starts, all_lo, all_ends, all_grp = [], [], [], []
+        for gi, (a, b) in enumerate(zip(g_lo, g_hi)):
+            tg = t[a:b]
+            if bounds_cols is None:
+                first = np.floor(tg[0] / step) * step
+                starts = np.arange(first, tg[-1] + 1e-9, step)
+            else:
+                t0s = pdf[bounds_cols[0]].iat[a]
+                t1 = pdf[bounds_cols[1]].iat[a]
+                c_lo = pdf[bounds_cols[2]].iat[a]
+                c_hi = pdf[bounds_cols[3]].iat[a]
+                starts = np.arange(t0s, t1 + 1e-9, step)
+                starts = starts[(starts >= c_lo - 1e-9) & (starts < c_hi - 1e-9)]
+            if len(starts) == 0:
+                continue
+            lo = a + np.searchsorted(tg, starts - 1e-9, side="left")
+            hi = a + np.searchsorted(tg, starts + window_size + 1e-9, side="right")
+            ends = (hi - lo) - (1 if exclusive_end else 0)
+            keep = ends >= min_points
+            if not keep.any():
+                continue
+            all_starts.append(starts[keep])
+            all_lo.append(lo[keep])
+            all_ends.append(ends[keep])
+            all_grp.append(np.full(int(keep.sum()), gi))
+        if not all_starts:
+            return
+        starts = np.concatenate(all_starts)
+        lo = np.concatenate(all_lo)
+        ends = np.concatenate(all_ends)
+        grp = np.concatenate(all_grp)
+        key_vals = gkeys[0][g_lo[grp]]
+        data: dict = {
+            key: key_vals,
+            "win_start": starts,
+            "win_end": starts + window_size,
+            "n_points": ends.astype("int64"),
+        }
+        for s in signals:
+            vals = pdf[s].to_numpy(dtype="float64")
+            if include_sequences:
+                data[f"{s}_seq"] = [
+                    vals[i0 : i0 + n].tolist() for i0, n in zip(lo, ends)
+                ]
+            feats = compute_features_batch(vals, lo, ends)
+            for j, c in enumerate(feature_columns(s)):
+                data[c] = feats[:, j]
+        yield pd.DataFrame(data, columns=out_cols)
+
+    return mapper

@@ -31,15 +31,9 @@ from __future__ import annotations
 
 from typing import Iterable
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feature_engineering_spark.functions.features import (
-    compute_features_batch,
-    feature_columns,
-)
 from feature_engineering_spark.functions.timeutil import epoch_seconds
 from feature_engineering_spark.operators.windows import window_feature_schema
 
@@ -62,8 +56,6 @@ def salted_window_features(
     schema = window_feature_schema(
         key, signals, include_sequences=False, key_type=df.schema[key].dataType
     )
-    out_cols = [f.name for f in schema.fields]
-
     prepared = df.select(
         F.col(key),
         epoch_seconds(ts).alias("__t"),
@@ -108,40 +100,22 @@ def salted_window_features(
     exploded = j.withColumn(
         "__chunk", F.explode(F.sequence(halo_lo, own_chunk.cast("long")))
     )
+    chunk_lo = F.col("__t0s") + F.col("__chunk") * F.col("__span")
+    exploded = exploded.withColumn("__clo", chunk_lo).withColumn(
+        "__chi", chunk_lo + F.col("__span")
+    )
 
-    def kernel(kv: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__t", kind="stable")
-        t = pdf["__t"].to_numpy(dtype="float64")
-        if len(t) == 0:
-            return pd.DataFrame(columns=out_cols)
-        k, chunk = kv[0], kv[1]
-        t0s = float(pdf["__t0s"].iloc[0])
-        t1 = float(pdf["__t1"].iloc[0])
-        spn = float(pdf["__span"].iloc[0])
-        chunk_lo = t0s + chunk * spn
-        chunk_hi = t0s + (chunk + 1) * spn
-        # Grid over the whole key, restricted to starts owned by this chunk.
-        starts = np.arange(t0s, t1 + 1e-9, step)
-        starts = starts[(starts >= chunk_lo - 1e-9) & (starts < chunk_hi - 1e-9)]
-        lo = np.searchsorted(t, starts - 1e-9, side="left")
-        hi = np.searchsorted(t, starts + window_size + 1e-9, side="right")
-        ends = (hi - lo) - (1 if exclusive_end else 0)
-        keep = ends >= min_points
-        starts, lo, ends = starts[keep], lo[keep], ends[keep]
-        if len(starts) == 0:
-            return pd.DataFrame(columns=out_cols)
-        data: dict = {
-            key: np.repeat(k, len(starts)),
-            "win_start": starts,
-            "win_end": starts + window_size,
-            "n_points": ends.astype("int64"),
-        }
-        for s in signals:
-            feats = compute_features_batch(
-                pdf[s].to_numpy(dtype="float64"), lo, ends
-            )
-            for j, c in enumerate(feature_columns(s)):
-                data[c] = feats[:, j]
-        return pd.DataFrame(data, columns=out_cols)
+    from feature_engineering_spark.functions.window_kernel import (
+        make_partition_window_mapper,
+    )
 
-    return exploded.groupBy(key, "__chunk").applyInPandas(kernel, schema=schema)
+    n_parts = int(exploded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = exploded.repartition(n_parts, key, "__chunk").sortWithinPartitions(
+        key, "__chunk", "__t"
+    )
+    mapper = make_partition_window_mapper(
+        key, signals, [f.name for f in schema.fields], window_size, step,
+        min_points, exclusive_end, include_sequences=False,
+        bounds_cols=("__t0s", "__t1", "__clo", "__chi"),
+    )
+    return part.mapInPandas(mapper, schema=schema)

@@ -32,17 +32,15 @@ from __future__ import annotations
 
 from typing import Iterable
 
-import numpy as np
-import pandas as pd
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feature_engineering_spark.functions.features import (
-    compute_features_batch,
-    feature_columns,
-)
+from feature_engineering_spark.functions.features import feature_columns
 from feature_engineering_spark.functions.timeutil import epoch_seconds
+from feature_engineering_spark.functions.window_kernel import (
+    make_partition_window_mapper,
+)
 
 
 def window_feature_schema(
@@ -84,46 +82,18 @@ def sliding_window_features(
     schema = window_feature_schema(
         key, signals, include_sequences, key_type=df.schema[key].dataType
     )
-    out_cols = [f.name for f in schema.fields]
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__t", kind="stable")
-        t = pdf["__t"].to_numpy(dtype="float64")
-        if len(t) == 0:
-            return pd.DataFrame(columns=out_cols)
-        k = pdf[key].iloc[0]
-        first = np.floor(t[0] / step) * step
-        starts = np.arange(first, t[-1] + 1e-9, step)
-        lo = np.searchsorted(t, starts - 1e-9, side="left")
-        hi = np.searchsorted(t, starts + window_size + 1e-9, side="right")
-        ends = (hi - lo) - (1 if exclusive_end else 0)
-        keep = ends >= min_points
-        starts, lo, ends = starts[keep], lo[keep], ends[keep]
-        if len(starts) == 0:
-            return pd.DataFrame(columns=out_cols)
-        data: dict = {
-            key: np.repeat(k, len(starts)),
-            "win_start": starts,
-            "win_end": starts + window_size,
-            "n_points": ends.astype("int64"),
-        }
-        for s in signals:
-            vals = pdf[s].to_numpy(dtype="float64")
-            if include_sequences:
-                data[f"{s}_seq"] = [
-                    vals[i0 : i0 + n].tolist() for i0, n in zip(lo, ends)
-                ]
-            feats = compute_features_batch(vals, lo, ends)
-            for j, c in enumerate(feature_columns(s)):
-                data[c] = feats[:, j]
-        return pd.DataFrame(data, columns=out_cols)
-
     prepared = df.select(
         F.col(key),
         epoch_seconds(ts).alias("__t"),
         *[F.col(s).cast("double").alias(s) for s in signals],
     )
-    return prepared.groupBy(key).applyInPandas(kernel, schema=schema)
+    n_parts = prepared.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = prepared.repartition(int(n_parts), key).sortWithinPartitions(key, "__t")
+    mapper = make_partition_window_mapper(
+        key, signals, [f.name for f in schema.fields], window_size, step,
+        min_points, exclusive_end, include_sequences,
+    )
+    return part.mapInPandas(mapper, schema=schema)
 
 
 def derive_text_signals(df: DataFrame, text: str = "text") -> DataFrame:

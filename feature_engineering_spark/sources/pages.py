@@ -132,7 +132,12 @@ def _write_parquet(pdf: pd.DataFrame, path: str) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    # Small row groups: Spark parallelizes a parquet FILE by row group —
+    # one giant row group would serialize the whole scan onto one task.
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), path,
+        row_group_size=32768,
+    )
     return path
 
 
