@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the point of each operator is its shuffle shape):
+- exact: one hash-shuffle groupBy on the content hash; map-side combine
+  makes it cheap even at 10^12 docs.
+- minhash LSH: per-doc signatures are computed scan-side (one pass, JVM
+  hash functions); the only shuffle is the band-bucket self-join, whose
+  size is controlled by (bands, rows) — candidates are verified with an
+  exact Jaccard before being reported. Never an all-pairs product.
+- simhash: signature scan-side; bucketing by signature prefix bounds the
+  candidate join the same way.
+- embedding near-dup: LSH via random hyperplanes would be next; the
+  provided baseline buckets by coarse quantization and verifies cosine
+  within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.functions.text import (
+    token_hash64,
+    word_shingles,
+)
+
+
+def dedup_exact(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on content hash: one row per distinct text with the
+    smallest id as the keeper and the duplicate count
+    (reference analog: filename dedup via set(), get_features.py:205)."""
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all id-ordered pairs.
+
+    All-pairs (O(N^2)) — the exactness baseline that minhash_lsh_dedup
+    approximates; use only on bounded subsets. Returns (a, b, jaccard)."""
+    g = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text), n).alias("sh")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"), jac.alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: minhash_i = min over shingles of
+    murmur3(shingle, seed=i). Scan-side JVM, one pass, no shuffle."""
+    sh = word_shingles(F.col(text), shingle_n)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.hash(s, F.lit(i)))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col).alias("id"), *mins)
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band) and self-join on band
+    buckets: docs sharing ANY full band become candidate pairs. The
+    band-key groupBy/join is the only shuffle; its fan-out is tuned by
+    (bands, rows_per_band) against the target similarity threshold
+    (s-curve: P(candidate) = 1-(1-j^r)^b)."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.hash(*cols).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    Jaccard verify >= threshold. Returns verified (a, b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sig, bands, rows_per_band)
+    g = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
+    )
+    j = (
+        cand.join(g.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(g.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("a", "b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    nbits: int = 60,
+) -> DataFrame:
+    """SimHash near-dup: signature scan-side, candidates bucketed by the
+    top ``prefix_bits`` of the signature (near-dups with differing prefixes
+    are missed — the standard trade; production rotates the signature over
+    several permutations), verified by Hamming distance."""
+    from feature_engineering_spark.functions.text import hamming64, simhash64
+
+    s = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text), nbits).alias("sh")
+    )
+    s = s.withColumn("bucket", F.shiftright("sh", nbits - prefix_bits))
+    l, r = s.alias("l"), s.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup, all-pairs verify (exactness baseline;
+    operators/similarity.py has the bucketed scale path). Returns
+    (a, b, cosine)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb).cast("array<double>").alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a.v") * norm("b.v"))
+    return pairs.select(
+        F.col("a.id").alias("a"), F.col("b.id").alias("b"), cos.alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,83 @@
+"""Causal splits, variance pruning, NaN hygiene, composite targets — the
+feature-selection support layer (SURVEY.md O6, A7, P9, A10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def causal_split(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    train_frac: float = 0.8,
+    tiebreak: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Strictly causal train/test split per key: the chronologically first
+    ``train_frac`` of each key's rows are train, the rest test — later
+    rows NEVER inform earlier ones (reference: positional 80/20 split,
+    /root/reference/get_features.py:252-264)."""
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    wc = Window.partitionBy(key)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wc)
+    return df.withColumn(
+        split_col,
+        F.when(rn <= F.floor(n * F.lit(train_frac)), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def variance_prune(df: DataFrame, cols: list[str]) -> tuple[DataFrame, list[str]]:
+    """Drop zero-variance feature columns (reference:
+    /root/reference/utils/analysis.py:306-311). One aggregate row collected
+    to the driver (cheap: one row), then a select."""
+    aggs = [F.var_pop(F.col(f"`{c}`")).alias(c) for c in cols]
+    row = df.agg(*aggs).collect()[0]
+    keep = [c for c in cols if row[c] is not None and row[c] > 0]
+    dropped = [c for c in cols if c not in keep]
+    others = [c for c in df.columns if c not in cols]
+    return df.select(*[F.col(f"`{c}`") for c in others + keep]), dropped
+
+
+def clean_nan_columns(df: DataFrame, candidate_cols: list[str]) -> tuple[DataFrame, list[str]]:
+    """The reference's clean_nans drops ANY column containing a NaN/inf
+    (/root/reference/utils/analysis.py:115-134 — deliberate quirk, column-
+    not row-wise). Two-pass: one aggregate of per-column bad-flags (single
+    collected row), then a select of survivors."""
+    def bad(c):
+        col = F.col(f"`{c}`")
+        return F.max(
+            (F.isnan(col) | col.isNull() | (F.abs(col) == float("inf"))).cast("int")
+        ).alias(c)
+
+    row = df.agg(*[bad(c) for c in candidate_cols]).collect()[0]
+    dropped = [c for c in candidate_cols if row[c] == 1]
+    keep = [c for c in df.columns if c not in dropped]
+    return df.select(*[F.col(f"`{c}`") for c in keep]), dropped
+
+
+def composite_target(
+    df: DataFrame,
+    count_cols: list[str],
+    weights: list[float],
+    powers: list[float],
+    base_col: str | None = None,
+    out_col: str = "di",
+) -> DataFrame:
+    """Weighted-power composite of defect-count columns — the DI/KPI shape
+    (reference: compute_di_aran/compute_kpi_aran,
+    /root/reference/utils/analysis.py:463-483; KPI = DI + IRI_mean).
+    Pure column expressions."""
+    expr = F.lit(0.0)
+    for c, w, p in zip(count_cols, weights, powers):
+        expr = expr + F.lit(w) * F.pow(F.coalesce(F.col(c), F.lit(0.0)), F.lit(p))
+    out = df.withColumn(out_col, expr)
+    if base_col:
+        out = out.withColumn(f"{out_col}_kpi", F.col(out_col) + F.col(base_col))
+    return out

@@ -1,0 +1,308 @@
+"""Driver-contract queries for the training-data pipeline operators:
+text analysis, dedup family, similarity search. Same conventions as
+driver_queries.py (aliases match oracles, floats rounded, deterministic
+constructions).
+
+The synthetic documents table has NO natural duplicates (all 500 texts
+distinct, max 3-gram Jaccard 0.03, max cosine 0.40) — dedup queries
+construct duplicates in-query with the IDENTICAL construction in Spark
+and SQL (union a mutated copy with shifted ids), so the checks are
+non-vacuous and still oracle-verified.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.functions import text as TX
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copy of doc_id<60 (id+10000, ' qq zz' appended)."""
+    d = _docs(spark, sf_dir)
+    mut = d.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.unionByName(mut).unionByName(exact)
+
+
+SQL_DOCS_WITH_DUPES = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 10000 AS doc_id, text || ' qq zz' AS text, lang, source, n_chars
+FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT doc_id + 20000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id < 20
+"""
+
+
+# ---------------------------------------------------------------- text
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.ws_token_count(t).alias("ws_tokens"),
+        TX.bpe_ish_token_count(t).alias("bpe_tokens"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+SQL_TEXT_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS bpe_tokens,
+         CASE WHEN len(text) > 0 THEN
+           (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / len(text)
+         ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(text) > 0 THEN
+           (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / len(text)
+         ELSE 0.0 END AS digit_ratio,
+         CASE WHEN len(string_split(text,' ')) > 0 THEN
+           len(list_filter(string_split(lower(text),' '), t -> list_contains([{_EN}], t)))::DOUBLE
+             / len(string_split(text,' '))
+         ELSE 0.0 END AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, CAST(ws_tokens AS INT) AS ws_tokens, CAST(bpe_tokens AS INT) AS bpe_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(0.4 * LEAST(1.0, ws_tokens / 100.0) + 0.3 * stopword_ratio
+             + 0.15 * (1.0 - digit_ratio) + 0.15 * (1.0 - punct_ratio), 6) AS quality
+FROM b
+"""
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(TX.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+        f"[{words}]))"
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in TX._LANG_ORDER
+)
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {', '.join(f'{_lang_score_sql(lang)} AS s_{lang}' for lang in TX._LANG_ORDER)}
+  FROM documents
+), b AS (
+  SELECT doc_id, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best, *
+  FROM s
+)
+SELECT CASE {_LANG_CASE} ELSE 'und' END AS lang_guess, COUNT(*) AS n
+FROM b GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.md5_fingerprint(t).alias("md5_fp"),
+        TX.rolling_hash(t).alias("roll_fp"),
+        TX.simhash64(t, nbits=16).alias("simhash16"),
+    )
+
+
+def _simhash_sql(nbits: int = 16) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(nbits)
+    )
+    return bits
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, ' '),
+           s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id, md5(text) AS md5_fp,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split(text, ''), c -> ascii(c))),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS roll_fp,
+       ({_simhash_sql(16)}) AS simhash16
+FROM h
+"""
+
+
+# ---------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs_with_dupes(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPES})
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM d GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs_with_dupes(spark, sf_dir).where(
+        (F.col("doc_id") < 60) | (F.col("doc_id") >= 10000)
+    )
+    out = ngram_jaccard_pairs(d, threshold=0.3)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPES}),
+sub AS (SELECT * FROM d WHERE doc_id < 60 OR doc_id >= 10000),
+g AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(string_split(text,' ')) >= 3 THEN
+           list_distinct([concat(parts[i], ' ', parts[i+1], ' ', parts[i+2])
+                          for i in range(1, len(parts) - 1)])
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM sub)
+)
+SELECT a.id AS a, b.id AS b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM g a JOIN g b ON a.id < b.id
+WHERE len(list_distinct(a.sh || b.sh)) > 0
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= 0.3
+"""
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: Spark murmur3 seeds have no DuckDB
+    twin; recall/precision property-tested in tests/test_dedup.py)."""
+    from feature_engineering_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _docs_with_dupes(spark, sf_dir)
+    out = minhash_lsh_dedup(d, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; signature itself is oracle-checked
+    via doc_fingerprint.simhash16)."""
+    from feature_engineering_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _docs_with_dupes(spark, sf_dir)
+    return simhash_neardup_pairs(d, max_hamming=8, prefix_bits=8, nbits=60)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_spark.operators.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.0)
+    return out.select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    ).where(F.round("cosine", 4) >= 0.3)
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------- similarity
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = brute_force_topk(emb.where(F.col("vec_id") != 0), list(query), k=20)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cosine
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only; recall vs brute force property-tested
+    in tests/test_similarity.py)."""
+    from feature_engineering_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 16).collect()
+    ]
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb.where(F.col("vec_id") != 0), list(query), cents, k=20, nprobe=4)
+
+
+DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality": q_text_quality,
+    "lang_id_counts": q_lang_id_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_neardup": q_simhash_neardup,
+    "embed_neardup": q_embed_neardup,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+}
+
+DATA_ORACLE_SQL: dict[str, str] = {
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id_counts": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "ann_topk": SQL_ANN_TOPK,
+}

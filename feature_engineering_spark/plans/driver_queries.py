@@ -528,7 +528,18 @@ def q_window_features_35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from feature_engineering_spark.plans.data_queries import (  # noqa: E402
+    DATA_ORACLE_SQL,
+    DATA_QUERIES,
+)
+from feature_engineering_spark.plans.misc_queries import (  # noqa: E402
+    MISC_ORACLE_SQL,
+    MISC_QUERIES,
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **DATA_QUERIES,
+    **MISC_QUERIES,
     "window_stats": q_window_stats,
     "window_features_35": q_window_features_35,
     "asof_join_events": q_asof_join_events,
@@ -548,6 +559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    **DATA_ORACLE_SQL,
+    **MISC_ORACLE_SQL,
     "window_stats": SQL_WINDOW_STATS,
     "asof_join_events": SQL_ASOF,
     "asof_join_tolerance": SQL_ASOF_TOL,

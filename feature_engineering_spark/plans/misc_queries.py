@@ -1,0 +1,246 @@
+"""Remaining SURVEY §2 operator queries: year filter (P5), histogram (A9),
+correlation (A8), class binning (A11), haversine (J7), URL canonicalization
+(S8), resample-to-grid (W7). Same oracle conventions as driver_queries.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.functions.timeutil import epoch_micros
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- P5
+def q_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.year("o_orderdate") == 1996)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 6).alias("sum_price"))
+    )
+
+
+SQL_YEAR_FILTER = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- A9
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem quantity (reference:
+    get_normalized_hist, plotting.py:774-835) via width_bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.width_bucket(F.col("l_quantity"), F.lit(0.0), F.lit(50.0), F.lit(10))
+    return (
+        li.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# DuckDB 1.0 has no width_bucket — inline the SQL-standard semantics
+# (bucket 0 below min, n+1 at/above max, else floor((q-min)/w)+1).
+SQL_HISTOGRAM = """
+SELECT CASE WHEN l_quantity < 0.0 THEN 0
+            WHEN l_quantity >= 50.0 THEN 11
+            ELSE CAST(FLOOR((l_quantity - 0.0) / 5.0) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- A8
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between lineitem numerics (reference:
+    df.corr(method='pearson'), plotting.py:151-152)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("q_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("q_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+    )
+
+
+SQL_CORR = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS q_price,
+       ROUND(corr(l_quantity, l_discount), 6) AS q_disc,
+       ROUND(corr(l_extendedprice, l_tax), 6) AS price_tax
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- A11
+def q_class_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class binning of a continuous target (reference set_class:
+    pd.cut(y, [0,2,5,50]) -> int8 labels, analysis.py:102-106).
+    Bin edges (0,2,5,50], right-closed like pd.cut."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    label = (
+        F.when((v > 0) & (v <= 2), 0)
+        .when((v > 2) & (v <= 5), 1)
+        .when((v > 5) & (v <= 50), 2)
+        .otherwise(-1)
+    )
+    return (
+        ev.withColumn("class", label.cast("int"))
+        .groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+SQL_CLASS_BIN = """
+SELECT CASE WHEN value > 0 AND value <= 2 THEN 0
+            WHEN value > 2 AND value <= 5 THEN 1
+            WHEN value > 5 AND value <= 50 THEN 2
+            ELSE -1 END AS class,
+       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- J7
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distances between derived point pairs (reference:
+    matching.pyc haversine_distance). Points derived deterministically
+    from events.value — same construction in the oracle."""
+    from feature_engineering_spark.functions.geo import haversine_km
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    lat1 = F.col("value") % 90 - 45
+    lon1 = (F.col("value") * 3) % 360 - 180
+    lat2 = (F.col("value") + 7) % 90 - 45
+    lon2 = (F.col("value") * 5 + 11) % 360 - 180
+    return ev.select(
+        "event_id",
+        F.round(haversine_km(lat1, lon1, lat2, lon2), 6).alias("dist_km"),
+    )
+
+
+SQL_HAVERSINE = """
+WITH p AS (
+  SELECT event_id,
+         value % 90 - 45 AS lat1, (value * 3) % 360 - 180 AS lon1,
+         (value + 7) % 90 - 45 AS lat2, (value * 5 + 11) % 360 - 180 AS lon2
+  FROM events WHERE event_id < 1000
+)
+SELECT event_id,
+       ROUND(2.0 * 6371.0 * asin(sqrt(
+         sin(radians(lat2 - lat1) / 2) ^ 2
+         + cos(radians(lat1)) * cos(radians(lat2)) * sin(radians(lon2 - lon1) / 2) ^ 2
+       )), 6) AS dist_km
+FROM p
+"""
+
+
+# ---------------------------------------------------------------- S8
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL canonicalization over constructed messy URLs."""
+    from feature_engineering_spark.functions.geo import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":8080")),
+        F.lit("/Path/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", canonicalize_url(url).alias("canon_url"))
+
+
+SQL_URL_CANON = """
+WITH u AS (
+  SELECT doc_id,
+         'HTTP://Example' || (doc_id % 7)::VARCHAR || '.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8080' END)
+         || '/Path/' || doc_id::VARCHAR
+         || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?]+)', 1)) AS host,
+         regexp_extract(u, '^[a-zA-Z]+://[^/:?]+:([0-9]+)', 1) AS port,
+         regexp_extract(u, '^[a-zA-Z]+://[^/?]+([/?].*)$', 1) AS rest
+  FROM s
+)
+SELECT doc_id,
+       scheme || '://' || host
+       || (CASE WHEN port != '' AND NOT ((scheme = 'http' AND port = '80')
+                                      OR (scheme = 'https' AND port = '443'))
+                THEN ':' || port ELSE '' END)
+       || (CASE WHEN rest = '/' THEN '' ELSE rest END) AS canon_url
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------- W7
+def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with causal ffill (as-of composition)."""
+    from feature_engineering_spark.operators.resample import resample_to_grid
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = resample_to_grid(
+        ev, key="user_id", ts="ts", values=["value"], step=86400.0,
+        tolerance_seconds=7 * 86400.0,
+    )
+    return out.select(
+        "user_id",
+        F.col("grid_ts_s").alias("grid_s"),
+        epoch_micros(F.col("matched_ts")).alias("obs_ts_us"),
+        F.col("value").alias("value"),
+    )
+
+
+SQL_RESAMPLE = """
+WITH bounds AS (
+  SELECT user_id, CAST(ceil(min(epoch(ts)) / 86400.0) * 86400 AS BIGINT) AS g0,
+         CAST(max(epoch(ts)) AS BIGINT) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(g0, t1, 86400)) AS grid_s
+  FROM bounds
+), matched AS (
+  SELECT g.user_id, g.grid_s, e.ts AS obs_ts, e.value
+  FROM grid g ASOF LEFT JOIN events e
+    ON g.user_id = e.user_id AND g.grid_s >= epoch(e.ts)
+)
+SELECT user_id, grid_s,
+       CASE WHEN grid_s - epoch(obs_ts) <= 604800.0 THEN epoch_us(obs_ts) END AS obs_ts_us,
+       CASE WHEN grid_s - epoch(obs_ts) <= 604800.0 THEN value END AS value
+FROM matched
+"""
+
+
+MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "year_filter": q_year_filter,
+    "histogram": q_histogram,
+    "corr_stats": q_corr_stats,
+    "class_bin": q_class_bin,
+    "haversine": q_haversine,
+    "url_canonicalize": q_url_canonicalize,
+    "resample_grid": q_resample_grid,
+}
+
+MISC_ORACLE_SQL: dict[str, str] = {
+    "year_filter": SQL_YEAR_FILTER,
+    "histogram": SQL_HISTOGRAM,
+    "corr_stats": SQL_CORR,
+    "class_bin": SQL_CLASS_BIN,
+    "haversine": SQL_HAVERSINE,
+    "url_canonicalize": SQL_URL_CANON,
+    "resample_grid": SQL_RESAMPLE,
+}

@@ -145,5 +145,44 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
     return _write_parquet(generate_pages(n_rows, seed), path)
 
 
+def url_plan(n_rows: int, seed: int = 42, n_urls: int | None = None) -> pd.DataFrame:
+    """Driver-side plan for the distributed generator: one row per url with
+    its deterministic row count (multinomial over the skewed weights),
+    start offset and lang. Tiny (n_urls rows)."""
+    rng = np.random.default_rng(seed)
+    if n_urls is None:
+        n_urls = max(50, n_rows // 200)
+    urls, weights = _make_urls(rng, n_urls)
+    counts = rng.multinomial(n_rows, weights)
+    t0 = rng.uniform(0, 86400.0 * 30, size=n_urls)
+    langs = _LANGS[rng.integers(0, len(_LANGS), size=n_urls)]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "url_id": np.arange(n_urls, dtype="int64"),
+            "lang": langs,
+            "n_rows_url": counts.astype("int64"),
+            "t0": t0,
+        }
+    )
+
+
+def pages_distributed(spark, n_rows: int, seed: int = 42, n_urls: int | None = None):
+    """Pages table built in parallel on the cluster: the tiny url plan is
+    parallelized and each worker synthesizes its urls' rows from
+    rng([seed, url_id]) — deterministic regardless of partitioning. Same
+    SCHEMA and distribution shape as generate_pages (not row-identical:
+    different rng stream consumption). Use for bench-scale inputs."""
+    from feature_engineering_spark.sources.pages_worker import plan_mapper
+
+    plan = url_plan(n_rows, seed, n_urls)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan_df = spark.createDataFrame(plan).repartition(n_parts)
+    schema = (
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+    )
+    return plan_df.mapInPandas(plan_mapper(seed), schema=schema)
+
+
 def write_labels_parquet(path: str, n_rows: int, seed: int = 42) -> str:
     return _write_parquet(generate_labels(n_rows, seed), path)

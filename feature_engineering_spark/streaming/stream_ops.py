@@ -1,0 +1,68 @@
+"""Structured Streaming lifts of the batch operators (SURVEY.md §2.9).
+
+The reference is batch-only; these are the streaming-shaped analogs for
+when the pages table is a live feed instead of a snapshot:
+- sessionization W5  -> ``session_window(ts, gap)``
+- grid windows W1/W2 -> ``window(ts, size, step)`` sliding windows
+- causality          -> watermarks (late rows beyond the watermark are
+  dropped rather than leaking into closed windows — the streaming face of
+  the zero-leakage invariant)
+
+Batch remains the primary engine (resumable checkpoints, plans/checkpoint
+.py); these run the same logical aggregations incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(key, session) bounds + counts over a stream. Equivalent batch
+    operator: operators/sessionize.session_bounds (same gap semantics)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key, F.session_window(F.col(ts), gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+        .select(key, "session.start", "session.end", "n_rows",
+                "session_start", "session_end")
+    )
+
+
+def streaming_window_stats(
+    events: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    value: str = "n_chars",
+    size: str = "10 minutes",
+    step: str = "1 minute",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding windowed stats (mean/std_pop/min/max/count) per key — the
+    incremental face of W1/W2 (boundary semantics differ deliberately:
+    Spark streaming windows are [start, end) half-open; the batch engine
+    pins the reference's inclusive-[:-1] quirks)."""
+    v = F.col(value)
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key, F.window(F.col(ts), size, step).alias("w"))
+        .agg(
+            F.avg(v).alias("w_mean"),
+            F.stddev_pop(v).alias("w_std"),
+            F.min(v).alias("w_min"),
+            F.max(v).alias("w_max"),
+            F.count(v).alias("n"),
+        )
+        .select(key, "w.start", "w.end", "w_mean", "w_std", "w_min", "w_max", "n")
+    )

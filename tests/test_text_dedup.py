@@ -1,0 +1,156 @@
+"""Text functions + dedup operators: hand-pinned semantics and the
+LSH recall/precision properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.functions.text import (
+    hamming64,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    simhash64,
+    word_shingles,
+    ws_token_count,
+)
+from feature_engineering_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """10 base docs, each with a near-dup (one word changed) and one exact
+    dup; plus unrelated docs."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    did = 0
+    for b in range(10):
+        words = list(rng.choice(vocab, 30))
+        base = " ".join(words)
+        mutated = " ".join(words[:-1] + ["zzz"])
+        rows += [(did, base), (did + 1, mutated), (did + 2, base)]
+        did += 3
+    for _ in range(10):
+        rows.append((did, " ".join(rng.choice(vocab, 30))))
+        did += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_lang_id_hand_rows(spark):
+    rows = [
+        ("the cat and the dog of it is that", "en"),
+        ("der hund und die katze ist nicht ein", "de"),
+        ("el perro y la casa de los que", "es"),
+        ("le chien et la maison de les dans", "fr"),
+        ("xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == [lang for _, lang in rows]
+
+
+def test_quality_and_tokens_hand(spark):
+    df = spark.createDataFrame([("the cat sat",)], "text string")
+    r = df.select(
+        ws_token_count(F.col("text")).alias("n"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    ).collect()[0]
+    assert r["n"] == 3
+    # 0.4*min(1, 3/100) + 0.3*(1/3) + 0.15*1 + 0.15*1 = 0.012 + 0.1 + 0.3
+    assert np.isclose(r["q"], 0.412)
+
+
+def test_rolling_hash_matches_python(spark):
+    texts = ["hello", "a b c", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(rolling_hash(F.col("text"))).collect()]
+
+    def py_roll(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        return acc
+
+    assert got == [py_roll(t) for t in texts]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(word_shingles(F.col("text"), 3)).collect()]
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_simhash_similarity_structure(spark, near_dup_docs):
+    """Near-identical docs have small simhash Hamming distance; unrelated
+    docs (disjoint-ish vocab draws) have larger."""
+    s = near_dup_docs.select(
+        "doc_id", simhash64(F.col("text"), 60).alias("sh")
+    ).toPandas().set_index("doc_id")["sh"]
+    ham = lambda a, b: bin(int(s[a]) ^ int(s[b])).count("1")  # noqa: E731
+    near = [ham(3 * b, 3 * b + 1) for b in range(10)]   # one-word edits
+    exact = [ham(3 * b, 3 * b + 2) for b in range(10)]  # exact dups
+    assert all(h == 0 for h in exact)
+    assert np.mean(near) < 8
+
+
+def test_dedup_exact(spark, near_dup_docs):
+    out = dedup_exact(near_dup_docs).toPandas()
+    dups = out[out["n_copies"] > 1]
+    assert len(dups) == 10  # each base text appears twice (doc_id, doc_id+2)
+    assert (dups["n_copies"] == 2).all()
+    assert (dups["keep_id"] % 3 == 0).all()  # keeper is the smaller id
+
+
+def test_ngram_jaccard_finds_near_dups(spark, near_dup_docs):
+    out = ngram_jaccard_pairs(near_dup_docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    for b in range(10):
+        assert (3 * b, 3 * b + 2) in pairs  # exact dups: jaccard 1.0
+        assert (3 * b, 3 * b + 1) in pairs  # one-word edit: high jaccard
+
+
+def test_minhash_lsh_recall_and_precision(spark, near_dup_docs):
+    """Every reported pair really has jaccard >= threshold (verify step),
+    and high-similarity pairs (>=0.85) are recalled (s-curve: P(miss) at
+    j=0.85 with 8 bands x 4 rows is ~(1-0.85^4)^8 ~ 0.8%/pair)."""
+    got = minhash_lsh_dedup(near_dup_docs, threshold=0.5).toPandas()
+    brute = ngram_jaccard_pairs(near_dup_docs, threshold=0.0).toPandas()
+    bmap = {(r.a, r.b): r.jaccard for r in brute.itertuples()}
+    for r in got.itertuples():
+        assert bmap.get((r.a, r.b), 0.0) >= 0.5  # no false positives
+    high = {(r.a, r.b) for r in brute.itertuples() if r.jaccard >= 0.85}
+    found = set(map(tuple, got[["a", "b"]].to_numpy()))
+    recall = len(high & found) / max(1, len(high))
+    assert recall >= 0.9, (recall, len(high))
+
+
+def test_simhash_neardup_pairs(spark, near_dup_docs):
+    out = simhash_neardup_pairs(
+        near_dup_docs, max_hamming=8, prefix_bits=4, nbits=60
+    ).toPandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    # exact dups always collide (hamming 0, same bucket)
+    hits = sum((3 * b, 3 * b + 2) in pairs for b in range(10))
+    assert hits == 10
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(df, threshold=0.95).toPandas()
+    assert set(map(tuple, out[["a", "b"]].to_numpy())) == {(0, 1)}
