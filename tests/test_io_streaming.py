@@ -1,0 +1,78 @@
+"""Glob source + provenance, CSV/JSON sinks, TableIO, and a REAL
+Structured Streaming run (parquet readStream -> session_window -> memory
+sink, driven to completion)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_engineering_spark.sources.io import (
+    TableIO,
+    read_glob_with_provenance,
+    write_csv,
+    write_json,
+)
+
+
+def test_glob_source_with_provenance(spark, pages_df, tmp_path):
+    for i in range(3):
+        pages_df.limit(100).write.parquet(str(tmp_path / f"part{i}.parquet"))
+    got = read_glob_with_provenance(spark, str(tmp_path / "part*.parquet"))
+    assert got.count() == 300
+    files = {os.path.basename(r[0].replace("file://", "")).split("/")[0]
+             for r in got.select(F.regexp_extract("source_file", r"(part\d+\.parquet)", 1)).collect()}
+    assert files == {"part0.parquet", "part1.parquet", "part2.parquet"}
+
+
+def test_csv_json_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    cpath = write_csv(df, str(tmp_path / "out_csv"))
+    jpath = write_json(df, str(tmp_path / "out_json"))
+    c = spark.read.option("header", "true").csv(cpath)
+    j = spark.read.json(jpath)
+    assert c.count() == 2 and j.count() == 2
+    assert {r["name"] for r in j.collect()} == {"a", "b"}
+
+
+def test_tableio(spark, pages_df, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    assert not io.exists("pages")
+    io.write("pages", pages_df.limit(50))
+    assert io.exists("pages")
+    assert io.read("pages").count() == 50
+
+
+def test_structured_streaming_sessionize(spark, pages_df, tmp_path):
+    """Drive the streaming sessionizer end-to-end: parquet stream source ->
+    session_window agg -> memory sink, processAllAvailable."""
+    from feature_engineering_spark.operators.sessionize import session_bounds
+    from feature_engineering_spark.streaming.stream_ops import streaming_sessionize
+
+    src = str(tmp_path / "stream_src")
+    one_url = pages_df.where(
+        F.col("url") == pages_df.select("url").first()[0]
+    )
+    one_url.write.parquet(src)
+    schema = one_url.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+    agg = streaming_sessionize(stream, key="url", ts="warc_ts")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_out")
+    n_stream = got.count()
+    # same session count as the batch operator (session_window gap
+    # semantics == lag/cumsum sessionizer for gap-separated streams)
+    n_batch = session_bounds(one_url).count()
+    assert n_stream == n_batch > 0
