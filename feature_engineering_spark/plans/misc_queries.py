@@ -225,7 +225,43 @@ FROM matched
 """
 
 
+# ---------------------------------------------------------------- A10
+def q_composite_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-power composite target (DI/KPI shape — reference
+    compute_di_aran: DI = sum w_i * count_i^p_i, analysis.py:463-483;
+    KPI = DI + base). Reproduces the reference's always-computed behavior
+    (truthy bug get_features.py:331: `if target_name=='DI' or 'KPI'`) by
+    emitting BOTH di and kpi regardless."""
+    from feature_engineering_spark.operators.split import composite_target
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 5000)
+    out = composite_target(
+        li,
+        count_cols=["l_quantity", "l_discount", "l_tax"],
+        weights=[0.3, 11.0, 7.0],
+        powers=[0.3, 2.0, 1.5],
+        base_col="l_extendedprice",
+        out_col="di",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("di", 6).alias("di"),
+        F.round("di_kpi", 6).alias("kpi"),
+    )
+
+
+SQL_COMPOSITE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(0.3 * POW(l_quantity, 0.3) + 11.0 * POW(l_discount, 2.0)
+             + 7.0 * POW(l_tax, 1.5), 6) AS di,
+       ROUND(0.3 * POW(l_quantity, 0.3) + 11.0 * POW(l_discount, 2.0)
+             + 7.0 * POW(l_tax, 1.5) + l_extendedprice, 6) AS kpi
+FROM lineitem WHERE l_orderkey < 5000
+"""
+
+
 MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "composite_target": q_composite_target,
     "year_filter": q_year_filter,
     "histogram": q_histogram,
     "corr_stats": q_corr_stats,
@@ -236,6 +272,7 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 MISC_ORACLE_SQL: dict[str, str] = {
+    "composite_target": SQL_COMPOSITE,
     "year_filter": SQL_YEAR_FILTER,
     "histogram": SQL_HISTOGRAM,
     "corr_stats": SQL_CORR,

@@ -60,7 +60,7 @@ print(json.dumps({{"cpus": int(cpus), "wall_s": round(wall, 2),
 """
 
 
-def wait_for_quiet(max_load: float = 4.0, timeout_s: float = 3600.0) -> float:
+def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 1200.0) -> float:
     """The sandbox host is shared; a two-point scaling comparison is only
     meaningful when external tenants aren't eating the cores. Block until
     1-min loadavg < max_load (or timeout) and return the load we saw."""
@@ -92,6 +92,7 @@ def measure(cpus: int, pages: str, labels: str, rows: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--attempts", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -112,17 +113,25 @@ def main() -> None:
     if not os.path.exists(labels):
         write_labels_parquet(labels, args.rows, seed=42)
 
-    # The sandbox host is shared (external load varies) — interleave
-    # repetitions and keep the best per point to suppress noise.
-    runs: dict[int, dict] = {}
-    for cpus in (8, 32, 8, 32):
-        r = measure(cpus, pages, labels, args.rows)
-        if cpus not in runs or r["wall_s"] < runs[cpus]["wall_s"]:
-            runs[cpus] = r
-    r8, r32 = runs[8], runs[32]
+    # The sandbox host is shared (external tenants routinely push loadavg
+    # past 10, flattening any scaling curve). Strategy: several attempts,
+    # each gated on a quiet-ish host; keep the attempt whose ambient load
+    # was lowest and report the load alongside the numbers.
+    attempts = []
+    for i in range(args.attempts):
+        r8 = measure(8, pages, labels, args.rows)
+        r32 = measure(32, pages, labels, args.rows)
+        noise = max(r8["load_before"], r8["load_after"],
+                    r32["load_before"], r32["load_after"])
+        attempts.append((noise, r8, r32))
+        print(json.dumps({"attempt": i, "noise": noise,
+                          "t8": r8["docs_per_sec"], "t32": r32["docs_per_sec"]}),
+              flush=True)
+    noise, r8, r32 = min(attempts, key=lambda a: a[0])
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     result = {"n8": r8, "n32": r32, "efficiency": round(eff, 3),
-              "gate": ">=0.8", "passed": eff >= 0.8, "rows": args.rows}
+              "gate": ">=0.8", "passed": eff >= 0.8, "rows": args.rows,
+              "ambient_load": noise}
     print(json.dumps(result))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -146,10 +155,13 @@ Config: AQE on (coalesce + skewJoin), shuffle.partitions = cores,
 Arrow batch 65536, salted windows target_rows_per_task=20000 so the hot
 domains split across tasks at both parallelism levels.
 
-The sandbox is one machine; parallelism levels stand in for executor
-counts (N vs 4N) per the task instructions. On a real cluster the same
-code path shuffles by url-hash / (url, chunk), which partitions evenly by
-construction after salting.
+The sandbox is one machine SHARED with other tenants; the reported run
+was taken at ambient 1-min loadavg {noise:.1f} (attempts are gated on a
+quiet host and the quietest attempt is reported — external load above
+~8 flattens any scaling curve regardless of code). Parallelism levels
+stand in for executor counts (N vs 4N) per the task instructions. On a
+real cluster the same code path shuffles by url-hash / (url, chunk),
+which partitions evenly by construction after salting.
 """)
 
 
