@@ -260,8 +260,101 @@ FROM lineitem WHERE l_orderkey < 5000
 """
 
 
+# ---------------------------------------------------------------- A6
+def q_nan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counting (reference check_nans,
+    data_loaders.py:201-209). Nulls constructed deterministically
+    (value<1 -> null) since the synthetic tables are null-free."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 1.0, F.col("value"))
+    p = F.when(F.col("event_type") != "error", F.col("props"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("null_value"),
+        F.sum(p.isNull().cast("long")).alias("null_props"),
+    )
+
+
+SQL_NAN_AUDIT = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN (CASE WHEN value >= 1.0 THEN value END) IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+       CAST(SUM(CASE WHEN (CASE WHEN event_type != 'error' THEN props END) IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS null_props
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- O5
+def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id", "event_type").alias("n_user_types"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(DISTINCT (user_id, event_type)) AS n_user_types
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- P7
+def q_seq_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length filter on collected arrays (reference drops
+    sequences shorter than 10 points, data_transforms.py:56-58)."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id", "event_type").agg(
+        F.collect_list("value").alias("seq")
+    )
+    return seqs.where(F.size("seq") >= 10).select(
+        "user_id", "event_type", F.size("seq").alias("seq_len")
+    )
+
+
+SQL_SEQ_LEN = """
+SELECT user_id, event_type, CAST(COUNT(*) AS INT) AS seq_len
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 10
+"""
+
+
+# ---------------------------------------------------------------- top-k/group
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user (row_number window — the canonical
+    OLAP top-k-per-group)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_id", "value")
+    )
+
+
+SQL_TOPK = """
+SELECT user_id, CAST(rk AS INT) AS rk, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
 MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "composite_target": q_composite_target,
+    "nan_audit": q_nan_audit,
+    "distinct_stats": q_distinct_stats,
+    "seq_length_filter": q_seq_length_filter,
+    "topk_per_group": q_topk_per_group,
     "year_filter": q_year_filter,
     "histogram": q_histogram,
     "corr_stats": q_corr_stats,
@@ -273,6 +366,10 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 MISC_ORACLE_SQL: dict[str, str] = {
     "composite_target": SQL_COMPOSITE,
+    "nan_audit": SQL_NAN_AUDIT,
+    "distinct_stats": SQL_DISTINCT,
+    "seq_length_filter": SQL_SEQ_LEN,
+    "topk_per_group": SQL_TOPK,
     "year_filter": SQL_YEAR_FILTER,
     "histogram": SQL_HISTOGRAM,
     "corr_stats": SQL_CORR,

@@ -28,6 +28,11 @@ _BASE_CONFS = {
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+    # Shuffle/spill to tmpfs: the sandbox's /tmp is a virtual disk whose
+    # bandwidth doesn't scale with cores (measured as a flat wall-clock
+    # floor from local[8] to local[32]); /dev/shm models the NVMe-local
+    # shuffle dirs a real cluster provisions.
+    "spark.local.dir": "/dev/shm/spark-local",
 }
 
 
