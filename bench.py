@@ -30,6 +30,10 @@ HEADLINE = [
     "window_features_35",
     "group_topstats",
     "join_orders_customer",
+    "text_quality",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "ann_topk",
 ]
 
 

@@ -349,8 +349,58 @@ SELECT user_id, CAST(rk AS INT) AS rk, event_id, value FROM (
 """
 
 
+# ---------------------------------------------------------------- pivot
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 6))
+    )
+    return p.select(
+        "user_id", *[F.col(t).alias(f"sum_{t}") for t in types]
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 6) AS sum_click,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 6) AS sum_view,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS sum_purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 6) AS sum_signup,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 6) AS sum_error
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- rollup
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 6).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "sum_price",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "composite_target": q_composite_target,
+    "pivot_event_types": q_pivot_event_types,
+    "rollup_orders": q_rollup_orders,
     "nan_audit": q_nan_audit,
     "distinct_stats": q_distinct_stats,
     "seq_length_filter": q_seq_length_filter,
@@ -366,6 +416,8 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 MISC_ORACLE_SQL: dict[str, str] = {
     "composite_target": SQL_COMPOSITE,
+    "pivot_event_types": SQL_PIVOT,
+    "rollup_orders": SQL_ROLLUP,
     "nan_audit": SQL_NAN_AUDIT,
     "distinct_stats": SQL_DISTINCT,
     "seq_length_filter": SQL_SEQ_LEN,

@@ -55,8 +55,11 @@ feats = salted_window_features(lab, key="url", ts="warc_ts",
                                target_rows_per_task=20000)
 feats.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
+import resource
+ru = resource.getrusage(resource.RUSAGE_CHILDREN)  # JVM + python workers
 print(json.dumps({{"cpus": int(cpus), "wall_s": round(wall, 2),
-                   "docs_per_sec": round(n_rows / wall, 1)}}))
+                   "docs_per_sec": round(n_rows / wall, 1),
+                   "child_cpu_s": round(ru.ru_utime + ru.ru_stime, 1)}}))
 """
 
 
