@@ -40,6 +40,48 @@ def streaming_sessionize(
     )
 
 
+def streaming_running_stats(
+    events: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    value: str = "n_chars",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    (count, sum, min, max) carried in GroupState across micro-batches —
+    the streaming analog of the batch rolling/cumulative stats, and the
+    engine's example of state Spark's built-in aggs can't shape (the state
+    here is tiny and explicit; arbitrary sketches would ride the same
+    slot). Emits one row per key per micro-batch."""
+    import pandas as pd
+
+    out_schema = (
+        f"{key} string, n bigint, sum double, min double, max double"
+    )
+    state_schema = "n bigint, sum double, min double, max double"
+
+    def fn(kv, pdfs, state):
+        n, s, mn, mx = (
+            state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
+        )
+        for pdf in pdfs:
+            col = pdf[value].astype("float64")
+            n += len(col)
+            s += float(col.sum())
+            if len(col):
+                mn = min(mn, float(col.min()))
+                mx = max(mx, float(col.max()))
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            [[kv[0], n, s, mn, mx]], columns=[key, "n", "sum", "min", "max"]
+        )
+
+    return (
+        events.groupBy(key)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", timeout)
+    )
+
+
 def streaming_window_stats(
     events: DataFrame,
     key: str = "url",

@@ -47,6 +47,42 @@ def test_tableio(spark, pages_df, tmp_path):
     assert io.read("pages").count() == 50
 
 
+def test_streaming_stateful_running_stats(spark, pages_df, tmp_path):
+    """applyInPandasWithState end-to-end: two micro-batches, state carries
+    counts across them; final totals equal the batch aggregate."""
+    from feature_engineering_spark.operators.windows import derive_text_signals
+    from feature_engineering_spark.streaming.stream_ops import streaming_running_stats
+
+    sig = derive_text_signals(pages_df).select("url", "warc_ts", "n_chars")
+    url = sig.select("url").first()[0]
+    one = sig.where(F.col("url") == url)
+    src = str(tmp_path / "state_src")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    one.limit(40).coalesce(1).write.parquet(src + "/b1")
+    one.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(one.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    q = (
+        streaming_running_stats(stream, key="url", ts="warc_ts", value="n_chars")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("state_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT * FROM state_out ORDER BY n DESC LIMIT 1"
+    ).collect()[0]
+    exp = one.agg(
+        F.count("n_chars"), F.sum("n_chars"), F.min("n_chars"), F.max("n_chars")
+    ).collect()[0]
+    assert got["n"] == exp[0] + 40  # state accumulated across both batches
+    assert got["max"] == exp[3]
+
+
 def test_structured_streaming_sessionize(spark, pages_df, tmp_path):
     """Drive the streaming sessionizer end-to-end: parquet stream source ->
     session_window agg -> memory sink, processAllAvailable."""

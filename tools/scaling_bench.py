@@ -96,6 +96,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--attempts", type=int, default=1)
+    ap.add_argument("--n", type=int, default=8, help="base parallelism; pair is (n, 4n)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -122,8 +123,8 @@ def main() -> None:
     # was lowest and report the load alongside the numbers.
     attempts = []
     for i in range(args.attempts):
-        r8 = measure(8, pages, labels, args.rows)
-        r32 = measure(32, pages, labels, args.rows)
+        r8 = measure(args.n, pages, labels, args.rows)
+        r32 = measure(4 * args.n, pages, labels, args.rows)
         noise = max(r8["load_before"], r8["load_after"],
                     r32["load_before"], r32["load_after"])
         attempts.append((noise, r8, r32))
@@ -132,7 +133,7 @@ def main() -> None:
               flush=True)
     noise, r8, r32 = min(attempts, key=lambda a: a[0])
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
-    result = {"n8": r8, "n32": r32, "efficiency": round(eff, 3),
+    result = {"n": args.n, "n8": r8, "n32": r32, "efficiency": round(eff, 3),
               "gate": ">=0.8", "passed": eff >= 0.8, "rows": args.rows,
               "ambient_load": noise}
     print(json.dumps(result))
@@ -148,8 +149,8 @@ fresh Spark session per point, noop sink (all columns computed, no disk).
 
 | parallelism | wall (s) | throughput (docs/sec) |
 |---|---|---|
-| local[8]  (N)  | {r8["wall_s"]} | {r8["docs_per_sec"]} |
-| local[32] (4N) | {r32["wall_s"]} | {r32["docs_per_sec"]} |
+| local[{args.n}]  (N)  | {r8["wall_s"]} | {r8["docs_per_sec"]} |
+| local[{4*args.n}] (4N) | {r32["wall_s"]} | {r32["docs_per_sec"]} |
 
 **Scaling efficiency** T(4N) / (4 x T(N)) = **{eff:.3f}** (gate >= 0.8:
 {"PASS" if eff >= 0.8 else "FAIL"}).
