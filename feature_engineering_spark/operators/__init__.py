@@ -1,5 +1,26 @@
-from feature_engineering_spark.operators.sessionize import sessionize  # noqa: F401
+from feature_engineering_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    backfill_asof,
+)
 from feature_engineering_spark.operators.lagging import (  # noqa: F401
     lag_lead_delta,
     rolling_causal_stats,
+)
+from feature_engineering_spark.operators.resample import resample_to_grid  # noqa: F401
+from feature_engineering_spark.operators.sessionize import (  # noqa: F401
+    session_bounds,
+    sessionize,
+)
+from feature_engineering_spark.operators.skew import (  # noqa: F401
+    salted_window_features,
+)
+from feature_engineering_spark.operators.split import (  # noqa: F401
+    causal_split,
+    clean_nan_columns,
+    composite_target,
+    variance_prune,
+)
+from feature_engineering_spark.operators.windows import (  # noqa: F401
+    derive_text_signals,
+    sliding_window_features,
 )

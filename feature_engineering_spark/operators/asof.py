@@ -63,6 +63,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_r",
     strategy: str = "union",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the matched right row's columns
     (suffixed on collision) and ``matched_ts`` (null when no match / outside
@@ -82,7 +83,7 @@ def asof_join(
     if strategy == "union":
         return _asof_union(
             left, right, keys, left_ts, rts, direction,
-            tolerance_seconds, right_cols, out_names,
+            tolerance_seconds, right_cols, out_names, right_tiebreak,
         )
     if strategy == "cogroup":
         return _asof_cogroup(
@@ -102,6 +103,7 @@ def _asof_union(
     tol: float | None,
     right_cols: list[str],
     out_names: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     backward = direction == "backward"
     # Tag order at equal ts: backward wants the right row to sort BEFORE the
@@ -111,6 +113,7 @@ def _asof_union(
 
     payload = F.struct(
         F.col(rts).cast("timestamp").alias("__rts"),
+        *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
         *[F.col(c).alias(f"v{i}") for i, c in enumerate(right_cols)],
     )
     r2 = right.select(
@@ -130,7 +133,14 @@ def _asof_union(
     )
     u = l2.unionByName(r2)
 
-    w = Window.partitionBy(*keys).orderBy("__ts", "__tag")
+    # Duplicate right timestamps: without a tiebreak, "which right row
+    # wins" is partition-order-dependent. Callers with dup-ts right sides
+    # pass right_tiebreak (carried inside the payload struct) to pin it.
+    order = ["__ts", "__tag"]
+    if right_tiebreak is not None:
+        u = u.withColumn("__tb", F.col("__r").getField("__tb"))
+        order.append("__tb")
+    w = Window.partitionBy(*keys).orderBy(*order)
     if backward:
         frame = w.rowsBetween(Window.unboundedPreceding, 0)
         matched: Column = F.last("__r", ignorenulls=True).over(frame)

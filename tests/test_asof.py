@@ -74,6 +74,26 @@ def test_asof_exact_ts_match_included(spark):
         assert got["iri"].tolist() == exp, direction
 
 
+def test_asof_dup_right_ts_tiebreak(spark):
+    """Duplicate right timestamps with right_tiebreak: the max-tiebreak row
+    wins for backward (deterministic across partitionings)."""
+    left = pd.DataFrame({
+        "url": ["u"], "warc_ts": pd.to_datetime(["2024-01-01 12:00"])
+    })
+    right = pd.DataFrame({
+        "url": ["u"] * 3,
+        "label_ts": pd.to_datetime(["2024-01-01 10:00"] * 3),
+        "rid": [2, 0, 1],
+        "iri": [20.0, 0.0, 10.0],
+    })
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="url", left_ts="warc_ts", right_ts="label_ts",
+        right_cols=["iri"], right_tiebreak="rid",
+    ).collect()[0]
+    assert out["iri"] == 20.0  # rid=2 wins
+
+
 def test_asof_no_label_urls_null(spark, pages_df, labels_df, labels_pdf):
     got = asof_join(pages_df, labels_df, right_ts="label_ts", right_cols=["iri"])
     unlabeled = got.where(~got["url"].isin(list(labels_pdf["url"].unique())))
