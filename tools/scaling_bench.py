@@ -55,11 +55,31 @@ feats = salted_window_features(lab, key="url", ts="warc_ts",
                                target_rows_per_task=20000)
 feats.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
-import resource
-ru = resource.getrusage(resource.RUSAGE_CHILDREN)  # JVM + python workers
+
+def descendants_cpu():
+    # RUSAGE_CHILDREN only counts reaped children; the JVM is still alive.
+    # Walk /proc for our descendant tree and sum utime+stime.
+    me = os.getpid()
+    ppid, cpu = {{}}, {{}}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            parts = open(f"/proc/{{pid}}/stat").read().rsplit(") ", 1)[1].split()
+            ppid[int(pid)] = int(parts[1])
+            tick = os.sysconf("SC_CLK_TCK")
+            cpu[int(pid)] = (int(parts[11]) + int(parts[12])) / tick
+        except OSError:
+            pass
+    total, frontier = 0.0, {{me}}
+    while frontier:
+        frontier = {{p for p, pp in ppid.items() if pp in frontier}}
+        total += sum(cpu.get(p, 0.0) for p in frontier)
+    return total
+
 print(json.dumps({{"cpus": int(cpus), "wall_s": round(wall, 2),
                    "docs_per_sec": round(n_rows / wall, 1),
-                   "child_cpu_s": round(ru.ru_utime + ru.ru_stime, 1)}}))
+                   "child_cpu_s": round(descendants_cpu(), 1)}}))
 """
 
 
