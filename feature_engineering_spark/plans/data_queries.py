@@ -223,12 +223,33 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; signature itself is oracle-checked
-    via doc_fingerprint.simhash16)."""
+    """SimHash near-dup pairs — fully oracle-checked: the md5-derived
+    signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
     from feature_engineering_spark.operators.dedup import simhash_neardup_pairs
 
     d = _docs_with_dupes(spark, sf_dir)
     return simhash_neardup_pairs(d, max_hamming=8, prefix_bits=8, nbits=60)
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPES}),
+h AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+           s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM d
+), s AS (
+  SELECT doc_id, ({{simhash_bits}}) AS sh FROM h
+), b AS (
+  SELECT doc_id, sh, sh >> 52 AS bucket FROM s
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sh, r.sh)) <= 8
+"""
+SQL_SIMHASH_NEARDUP = SQL_SIMHASH_NEARDUP.replace(
+    "{simhash_bits}", _simhash_sql(60)
+)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +291,35 @@ LIMIT 20
 """
 
 
+SQL_ANN_IVF = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 16),
+probe AS (SELECT cid FROM cents, q
+          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+FROM embeddings e
+JOIN assigned a ON e.vec_id = a.vec_id, q
+WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id != 0
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+LIMIT 20
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only; recall vs brute force property-tested
-    in tests/test_similarity.py)."""
+    """IVF-bucketed ANN — oracle-checked (centroid assignment, probe
+    selection, and in-bucket top-k all replicated in SQL); recall vs brute
+    force additionally property-tested in tests."""
     from feature_engineering_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -305,4 +352,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf": SQL_ANN_IVF,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
 }
