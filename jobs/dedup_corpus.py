@@ -1,0 +1,113 @@
+"""Corpus-cleaning pipeline — the canonical training-data preparation flow
+over the pages table, checkpointed and resumable:
+
+  1. text signals + quality scoring + language ID (scan-side JVM)
+  2. quality/lang filter
+  3. exact dedup (content-hash groupBy, min-id keeper)
+  4. MinHash+LSH near-dup removal (verified Jaccard >= threshold;
+     the LOWER id of each verified pair survives)
+  5. byte-identity audit: surviving text hashes unchanged from ingest
+
+    python jobs/dedup_corpus.py --rows 50000 --out /tmp/fes_dedup
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from feature_engineering_spark.functions.text import lang_id, quality_score  # noqa: E402
+from feature_engineering_spark.operators.dedup import (  # noqa: E402
+    dedup_exact,
+    minhash_lsh_dedup,
+)
+from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
+from feature_engineering_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=50_000)
+    ap.add_argument("--out", default="/tmp/fes_dedup")
+    ap.add_argument("--min-quality", type=float, default=0.4)
+    ap.add_argument("--jaccard", type=float, default=0.6)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark("dedup_corpus", master=args.master)
+    p = Pipeline(spark, args.out)
+
+    def load_pages():
+        from feature_engineering_spark.sources.pages import write_pages_parquet
+
+        path = os.path.join(args.out, "_input", "pages.parquet")
+        if not os.path.exists(path):
+            write_pages_parquet(path, args.rows, seed=42)
+        df = spark.read.parquet(path)
+        # the synthetic fixture has no duplicates — inject a deterministic
+        # dup layer so the dedup stages demonstrably remove rows: ~5% exact
+        # copies and ~5% near-copies (one appended token)
+        frac = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(100))
+        exact_copies = df.where(frac < 5)
+        near_copies = df.where((frac >= 5) & (frac < 10)).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zz"))
+        )
+        df = df.unionByName(exact_copies).unionByName(near_copies)
+        # unique doc id (frozen by the stage's parquet commit, so resume
+        # sees identical ids) + ingest hash for the byte-identity audit
+        return df.withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ).withColumn("ingest_sha", F.sha2("text", 256))
+
+    pages = p.stage("pages", load_pages, ts_col="warc_ts")
+    n0 = pages.count()
+
+    scored = p.stage(
+        "scored",
+        lambda: pages.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("lang_guess", lang_id(F.col("text"))),
+        ts_col="warc_ts",
+    )
+
+    filtered = p.stage(
+        "filtered",
+        lambda: scored.where(F.col("quality") >= args.min_quality),
+        ts_col="warc_ts",
+    )
+    n1 = filtered.count()
+
+    def build_exact():
+        keep = dedup_exact(filtered, text="text", id_col="doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return filtered.join(keep, "doc_id", "left_semi")
+
+    exact = p.stage("exact_dedup", build_exact, ts_col="warc_ts")
+    n2 = exact.count()
+
+    def build_neardup():
+        pairs = minhash_lsh_dedup(
+            exact, text="text", id_col="doc_id", threshold=args.jaccard
+        )
+        drop = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
+        return exact.join(drop, "doc_id", "left_anti")
+
+    clean = p.stage("neardup_dedup", build_neardup, ts_col="warc_ts")
+    n3 = clean.count()
+
+    corrupted = clean.where(F.sha2("text", 256) != F.col("ingest_sha")).count()
+    stats = {
+        "input": n0, "after_quality": n1, "after_exact": n2,
+        "after_neardup": n3, "byte_identity_violations": corrupted,
+    }
+    print(json.dumps(stats))
+    assert corrupted == 0
+
+
+if __name__ == "__main__":
+    main()
