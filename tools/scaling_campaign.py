@@ -31,11 +31,22 @@ def render(rows: int) -> None:
             return max(a["tn"]["load_before"], a["t4n"]["load_before"])
         return a["noise"]
 
+    def cpu_skew(a: dict) -> float:
+        # ratio of CPU-seconds burned at 4N vs N for IDENTICAL work: ~1.0
+        # means both points ran undisturbed (co-tenant memory contention
+        # inflates CPU time; observed 1.07x to 3.7x across windows)
+        cn = a["tn"].get("child_cpu_s") or 0
+        c4 = a["t4n"].get("child_cpu_s") or 0
+        return (c4 / cn) if cn else float("inf")
+
     best: dict[int, dict] = {}
     for a in attempts:
         a["noise"] = ambient(a)
         n = a["n"]
-        if n not in best or a["noise"] < best[n]["noise"]:
+        # headline = the attempt with the most EQUAL CPU totals (both
+        # points undisturbed); ambient load breaks ties
+        key = (abs(cpu_skew(a) - 1.0), a["noise"])
+        if n not in best or key < (abs(cpu_skew(best[n]) - 1.0), best[n]["noise"]):
             best[n] = a
     lines = [
         "# BENCH/BASELINE — two-point scaling evidence\n",
@@ -51,7 +62,11 @@ def render(rows: int) -> None:
         "ambient load actually seen. Efficiency = T(4N) / (4 x T(N)),",
         "gate >= 0.8 (north_rule). Parallelism levels stand in for executor",
         "counts per the task instructions.\n",
-        "## Best (lowest-noise) attempt per pair\n",
+        "## Cleanest attempt per pair\n",
+        "Selection: the attempt whose two points burned the most EQUAL",
+        "CPU-seconds for the identical work (CPU-time inflation is the",
+        "fingerprint of co-tenant memory contention hitting one point;",
+        "~1.0 skew = both points undisturbed). All attempts listed below.\n",
         "| pair | T(N) docs/s | T(4N) docs/s | efficiency | CPU-s N | CPU-s 4N | ambient load |",
         "|---|---|---|---|---|---|---|",
     ]
