@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from feature_engineering_spark.operators.sessionize import sessionize
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
     r = rolling_causal_stats(
         s, key="user_id", ts="ts", value="value", k=10, order_tiebreak="event_id"
     )

@@ -215,6 +215,7 @@ def backfill_asof(
     value: str = "iri",
     tolerance_seconds: float | None = None,
     strategy: str = "union",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward + forward as-of in one pass with linear interpolation —
     the reference's start/end alignment + GPS interpolation (J5 + W8,
@@ -227,12 +228,14 @@ def backfill_asof(
     b = asof_join(
         left, right, on, left_ts, right_ts, "backward",
         tolerance_seconds, [value], strategy=strategy,
+        right_tiebreak=right_tiebreak,
     ).withColumnRenamed("matched_ts", "prev_ts").withColumnRenamed(
         value if value not in left.columns else value + "_r", f"{value}_prev"
     )
     f_ = asof_join(
         b, right, on, left_ts, right_ts, "forward",
         tolerance_seconds, [value], strategy=strategy,
+        right_tiebreak=right_tiebreak,
     ).withColumnRenamed("matched_ts", "next_ts").withColumnRenamed(
         value if value not in b.columns else value + "_r", f"{value}_next"
     )

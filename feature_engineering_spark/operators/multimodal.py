@@ -59,18 +59,20 @@ def _parse_header(payload: bytes) -> tuple[int, int, int] | None:
     return w, h, nf
 
 
+# Flip to route frames through a real codec (PIL/ffmpeg) once wired up.
+# Import success alone must NOT change behavior: the FMM1 fake container
+# decodes unconditionally; real-codec wiring is an explicit opt-in.
+USE_REAL_CODECS = False
+
+
 def _decode_frame(payload: bytes, w: int, h: int, idx: int) -> np.ndarray:
     """STUB boundary: a real build would hand payload bytes to
     PIL/ffmpeg here. The fake container is directly sliceable."""
-    try:  # pragma: no cover - library absent in this container
-        import PIL.Image  # noqa: F401
-
+    if USE_REAL_CODECS:  # pragma: no cover - no codecs in this container
         raise NotImplementedError(
-            "real image decode not wired: container lacks codecs; "
-            "replace _decode_frame with PIL/ffmpeg when available"
+            "real image decode not wired: replace _decode_frame with "
+            "PIL/ffmpeg and set USE_REAL_CODECS=True when available"
         )
-    except ImportError:
-        pass
     off = 10 + idx * w * h
     arr = np.frombuffer(payload[off : off + w * h], dtype=np.uint8)
     return arr.reshape(h, w)

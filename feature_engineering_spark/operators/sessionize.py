@@ -33,14 +33,18 @@ def sessionize(
     ts: str = "warc_ts",
     gap_seconds: int = 1800,
     session_col: str = "session_id",
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """Append ``session_col``: 0-based session index per ``key``.
 
     A new session starts at the first row and at every row whose gap from
     the previous row (same key, ordered by ``ts``) exceeds ``gap_seconds``.
-    Ties on ``ts`` are kept in one session (gap 0).
+    Ties on ``ts`` are kept in one session (gap 0) — but when a new session
+    starts exactly at a tie group, which tie rows land in it depends on the
+    order among ties; pass ``order_tiebreak`` (a unique column) to pin it.
     """
-    w = Window.partitionBy(key).orderBy(ts)
+    order = [ts] if order_tiebreak is None else [ts, order_tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
     prev_ts: Column = F.lag(ts).over(w)
     gap = epoch_seconds(F.col(ts)) - epoch_seconds(prev_ts)
     is_new = F.when(prev_ts.isNull(), F.lit(0)).otherwise(
@@ -57,9 +61,10 @@ def session_bounds(
     key: str = "url",
     ts: str = "warc_ts",
     gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """One row per (key, session): start/end ts and row count."""
-    s = sessionize(df, key, ts, gap_seconds)
+    s = sessionize(df, key, ts, gap_seconds, order_tiebreak=order_tiebreak)
     return s.groupBy(key, "session_id").agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),

@@ -39,10 +39,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine: scan + TakeOrderedAndProject (no shuffle of
-    the full table, only the per-partition top-k heads move)."""
+    the full table, only the per-partition top-k heads move).
+
+    Ordering is by the RAW cosine with id tiebreak — never by a rounded
+    value (round-then-rank can pick different ids than rank-then-round
+    near rounding boundaries); callers round once on emission."""
     scored = cosine_to_query(df, query, emb)
     return (
-        scored.select(id_col, F.round("cosine", 6).alias("cosine"))
+        scored.select(id_col, "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

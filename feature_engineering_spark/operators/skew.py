@@ -48,17 +48,21 @@ def salted_window_features(
     min_points: int = 10,
     exclusive_end: bool = True,
     target_rows_per_task: int = 100_000,
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """Exactly ``sliding_window_features`` semantics, hot keys split across
     tasks. ``target_rows_per_task`` sizes chunks (tune to executor memory;
-    at 100k rows x ~100B/row a task holds ~10 MB + feature arrays)."""
+    at 100k rows x ~100B/row a task holds ~10 MB + feature arrays).
+    ``order_tiebreak`` pins dup-ts ordering (see sliding_window_features)."""
     signals = list(signals)
     schema = window_feature_schema(
         key, signals, include_sequences=False, key_type=df.schema[key].dataType
     )
+    tb = [order_tiebreak] if order_tiebreak else []
     prepared = df.select(
         F.col(key),
         epoch_seconds(ts).alias("__t"),
+        *[F.col(c) for c in tb],
         *[F.col(s).cast("double").alias(s) for s in signals],
     )
 
@@ -111,7 +115,7 @@ def salted_window_features(
 
     n_parts = int(exploded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     part = exploded.repartition(n_parts, key, "__chunk").sortWithinPartitions(
-        key, "__chunk", "__t"
+        key, "__chunk", "__t", *tb
     )
     mapper = make_partition_window_mapper(
         key, signals, [f.name for f in schema.fields], window_size, step,

@@ -72,23 +72,33 @@ def sliding_window_features(
     min_points: int = 10,
     exclusive_end: bool = True,
     include_sequences: bool = False,
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """One row per (key, grid window) with 35 features per signal.
 
     ``win_start``/``win_end`` are epoch seconds of the grid boundaries
     (window = [win_start, win_start + window_size], inclusive).
+
+    ``order_tiebreak``: unique column pinning the in-window order of rows
+    with equal timestamps. Without it, duplicate-ts rows sort arbitrarily —
+    the exclusive-end ``[:-1]`` drop and every order-sensitive statistic
+    (diffs, slope, turning points) become nondeterministic on dup-ts data.
     """
     signals = list(signals)
     schema = window_feature_schema(
         key, signals, include_sequences, key_type=df.schema[key].dataType
     )
+    tb = [order_tiebreak] if order_tiebreak else []
     prepared = df.select(
         F.col(key),
         epoch_seconds(ts).alias("__t"),
+        *[F.col(c) for c in tb],
         *[F.col(s).cast("double").alias(s) for s in signals],
     )
     n_parts = prepared.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    part = prepared.repartition(int(n_parts), key).sortWithinPartitions(key, "__t")
+    part = prepared.repartition(int(n_parts), key).sortWithinPartitions(
+        key, "__t", *tb
+    )
     mapper = make_partition_window_mapper(
         key, signals, [f.name for f in schema.fields], window_size, step,
         min_points, exclusive_end, include_sequences,

@@ -43,9 +43,13 @@ def _lineage_rows(df: DataFrame, stage: str, ts_col: str | None) -> DataFrame:
     """One row per output partition: counts, event-time bounds, checksum."""
     # backtick-quote — feature names contain dots/spaces
     h = F.xxhash64(*[F.col(f"`{c}`") for c in df.columns])
+    # Order-insensitive SUM of per-row hashes (not XOR: XOR cancels pairs,
+    # so a whole duplicated table would leave the checksum unchanged).
+    # Summed in decimal(38,0) then wrapped mod 2^63-1 to avoid overflow.
+    wrap = (F.sum(h.cast("decimal(38,0)")) % F.lit(2**63 - 1)).cast("long")
     agg = [
         F.count(F.lit(1)).alias("row_count"),
-        F.bit_xor(h).alias("checksum"),  # order-insensitive, overflow-free
+        wrap.alias("checksum"),
     ]
     if ts_col and ts_col in df.columns:
         agg += [

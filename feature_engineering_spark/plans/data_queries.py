@@ -328,7 +328,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < 16).collect()
     ]
     query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_topk(emb.where(F.col("vec_id") != 0), list(query), cents, k=20, nprobe=4)
+    out = ivf_topk(emb.where(F.col("vec_id") != 0), list(query), cents, k=20, nprobe=4)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -36,7 +36,8 @@ def _r6(c):
 # ---------------------------------------------------------------- W5
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
     return s.groupBy("user_id", "session_id").agg(
         epoch_micros(F.min("ts")).alias("session_start_us"),
         epoch_micros(F.max("ts")).alias("session_end_us"),
@@ -47,13 +48,13 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, value,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
@@ -326,6 +327,7 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = asof_join(
         clicks, purchases, on="user_id", left_ts="ts",
         right_cols=["value"], direction="backward", strategy="union",
+        right_tiebreak="event_id",
     )
     return j.select(
         "event_id", "user_id",
@@ -356,6 +358,7 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, on="user_id", left_ts="ts",
         right_cols=["value"], direction="backward",
         tolerance_seconds=600.0, strategy="union",
+        right_tiebreak="event_id",
     )
     return j.select(
         "event_id", "user_id",
@@ -476,6 +479,7 @@ def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = sliding_window_features(
         ev, key="user_id", ts="ts", signals=("value",),
         window_size=_WSIZE, step=_WSTEP, min_points=_WMIN,
+        order_tiebreak="event_id",
     )
     return w.select(
         F.col("user_id").cast("long").alias("user_id"),
@@ -525,6 +529,7 @@ def q_window_features_35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_features(
         ev, key="user_id", ts="ts", signals=("value",),
         window_size=_WSIZE, step=_WSTEP, min_points=_WMIN,
+        order_tiebreak="event_id",
     )
 
 

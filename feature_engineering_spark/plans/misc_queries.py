@@ -208,7 +208,7 @@ def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RESAMPLE = """
 WITH bounds AS (
   SELECT user_id, CAST(ceil(min(epoch(ts)) / 86400.0) * 86400 AS BIGINT) AS g0,
-         CAST(max(epoch(ts)) AS BIGINT) AS t1
+         CAST(FLOOR(max(epoch(ts))) AS BIGINT) AS t1
   FROM events GROUP BY user_id
 ), grid AS (
   SELECT user_id, unnest(generate_series(g0, t1, 86400)) AS grid_s
