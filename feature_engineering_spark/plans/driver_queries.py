@@ -533,6 +533,227 @@ def q_window_features_35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- §2.6 full
+# The hash-verified twin of window_features_35: ALL 35 statistics of the
+# kernel (functions/features.py, reference analysis.py:153-219) re-derived
+# independently in DuckDB SQL over the same window expansion. Bigger windows
+# (12d / 2d step) so sf0.01 windows hold ~25-30 points — the n>20 ECDF gate
+# is exercised on BOTH branches.
+#
+# Cross-engine float discipline (the hash must match bit-for-bit):
+# - The signal is made INTEGER-valued identically on both sides
+#   (FLOOR(value) - 40; the shift puts both signs in play so zero-crossing
+#   and turning-point features are non-vacuous). With integer inputs every
+#   linear statistic (sums, means, medians, quartiles, extrema, energies)
+#   is an exact double — bit-identical across engines — and is emitted RAW.
+# - Only the genuinely float-noisy statistics (central moments, sqrt/log
+#   compositions) carry ROUND(6); with integer inputs their values sit at
+#   generic positions, never exactly on .xxxxxx5 rounding boundaries where
+#   Spark's BigDecimal-exact rounding and DuckDB's multiply-based rounding
+#   legitimately disagree (measured: 2-decimal inputs put window means
+#   exactly on those boundaries).
+# - Spark NaN is mapped to NULL (the kernel's nan sentinel ≙ SQL NULL).
+_W2SIZE, _W2STEP, _W2MIN = 1036800.0, 172800.0, 5
+
+# (kernel output column suffix, contract alias, round to 6dp?)
+_F35_ALIASES = [
+    ("Mean", "f_mean", False), ("Median", "f_median", False),
+    ("Max", "f_max", False), ("Min", "f_min", False),
+    ("Maxmin diff", "f_maxmin", False),
+    ("Standard deviation", "f_std", True), ("Variance", "f_var", True),
+    ("Root mean square", "f_rms", False),
+    ("Mean absolute deviation", "f_mad", True),
+    ("Median absolute deviation", "f_medad", False),
+    ("Interquartile range", "f_iqr", False), ("Skewness", "f_skew", True),
+    ("Kurtosis", "f_kurt", True), ("ECDF Percentile 0.05", "f_ecdf05", False),
+    ("ECDF Percentile 0.1", "f_ecdf10", False),
+    ("ECDF Percentile 0.2", "f_ecdf20", False),
+    ("ECDF Percentile 0.8", "f_ecdf80", False),
+    ("Absolute energy", "f_abs_energy", False),
+    ("Total energy", "f_total_energy", False),
+    ("Area under the curve", "f_auc", True),
+    ("Autocorrelation", "f_autocorr", False),
+    ("Centroid", "f_centroid", True), ("Entropy", "f_entropy", True),
+    ("Mean diff", "f_mean_diff", False),
+    ("Median diff", "f_median_diff", False),
+    ("Mean absolute diff", "f_mean_abs_diff", False),
+    ("Median absolute diff", "f_median_abs_diff", False),
+    ("Sum absolute diff", "f_sum_abs_diff", False),
+    ("Signal distance", "f_signal_dist", True), ("Slope", "f_slope", True),
+    ("Zero crossing rate", "f_zcr", False),
+    ("Positive turning points", "f_pos_turn", False),
+    ("Negative turning points", "f_neg_turn", False),
+    ("Neighbourhood peaks", "f_npeaks", False),
+    ("Peak to peak distance", "f_pkpk", False),
+]
+
+
+def q_window_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_spark.operators.windows import sliding_window_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.floor("value") - F.lit(40)).cast("double").alias("value"),
+    )
+    w = sliding_window_features(
+        ev, key="user_id", ts="ts", signals=("value",),
+        window_size=_W2SIZE, step=_W2STEP, min_points=_W2MIN,
+        order_tiebreak="event_id",
+    )
+
+    def emit(name: str, alias: str, rnd: bool):
+        c = F.col(f"`value-0_{name}`")
+        out = F.round(c, 6) if rnd else c
+        return F.when(F.isnan(c), F.lit(None)).otherwise(out).alias(alias)
+
+    return w.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("win_start"),
+        F.col("n_points"),
+        *[emit(name, alias, rnd) for name, alias, rnd in _F35_ALIASES],
+    )
+
+
+SQL_WINDOW_FEATURES = f"""
+WITH bounds AS (
+  SELECT user_id, MIN(epoch(ts)) AS t0 FROM events GROUP BY user_id
+), expanded AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CAST(FLOOR(e.value) - 40 AS DOUBLE) AS value,
+         unnest(generate_series(
+           GREATEST(CAST(CEIL((epoch(e.ts) - {_W2SIZE}) / {_W2STEP}) AS BIGINT),
+                    CAST(FLOOR(b.t0 / {_W2STEP}) AS BIGINT)),
+           CAST(FLOOR(epoch(e.ts) / {_W2STEP}) AS BIGINT)
+         )) AS win_idx
+  FROM events e JOIN bounds b USING (user_id)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, win_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM expanded
+), w AS (  -- exclusive-end [:-1]: drop the max-(ts,event_id) row per window
+  SELECT user_id, win_idx, ts, event_id, value
+  FROM ranked WHERE rn_desc > 1
+), pos AS (  -- per-row positional context within the window ordering
+  SELECT user_id, win_idx, value,
+         ROW_NUMBER() OVER wo - 1 AS idx,
+         LEAD(value) OVER wo AS nxt,
+         LEAD(value, 2) OVER wo AS nxt2,
+         COUNT(*) OVER wp AS n,
+         CASE WHEN ROW_NUMBER() OVER wo - 1 >= 10
+                   AND ROW_NUMBER() OVER wo - 1 < COUNT(*) OVER wp - 10
+                   AND value > MAX(value)
+                       OVER (wo ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AND value > MAX(value)
+                       OVER (wo ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+              THEN 1 ELSE 0 END AS is_npeak
+  FROM w
+  WINDOW wo AS (PARTITION BY user_id, win_idx ORDER BY ts, event_id),
+         wp AS (PARTITION BY user_id, win_idx)
+), base AS (
+  SELECT user_id, win_idx,
+    COUNT(*) AS n,
+    AVG(value) AS m,
+    MIN(value) AS mn, MAX(value) AS mx,
+    SUM(value * value) AS abs_energy,
+    quantile_cont(value, 0.5) AS med,
+    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr,
+    SUM((idx / 100.0) * value * value) AS te,
+    AVG(nxt - value) AS mean_diff,
+    quantile_cont(nxt - value, 0.5) AS median_diff,
+    AVG(ABS(nxt - value)) AS mean_abs_diff,
+    quantile_cont(ABS(nxt - value), 0.5) AS median_abs_diff,
+    SUM(ABS(nxt - value)) AS sum_abs_diff,
+    SUM(SQRT(1.0 + (nxt - value) * (nxt - value))) AS signal_dist,
+    SUM(0.5 * (1.0 / 100.0) * ABS(value + nxt)) AS auc,
+    SUM(CASE WHEN nxt IS NOT NULL AND SIGN(value) != SIGN(nxt)
+             THEN 1 ELSE 0 END)::DOUBLE AS zcr,
+    SUM(CASE WHEN nxt2 IS NOT NULL AND nxt - value > 0 AND nxt2 - nxt < 0
+             THEN 1 ELSE 0 END)::DOUBLE AS pos_turn,
+    SUM(CASE WHEN nxt2 IS NOT NULL AND nxt - value < 0 AND nxt2 - nxt > 0
+             THEN 1 ELSE 0 END)::DOUBLE AS neg_turn,
+    SUM(is_npeak)::DOUBLE AS npeaks
+  FROM pos GROUP BY user_id, win_idx
+  HAVING COUNT(*) >= {_W2MIN}
+), dev AS (  -- second pass: central moments need the window mean/median
+  SELECT p.user_id, p.win_idx,
+    AVG(ABS(p.value - b.m)) AS mean_ad,
+    quantile_cont(ABS(p.value - b.med), 0.5) AS med_ad,
+    AVG((p.value - b.m) * (p.value - b.m)) AS m2,
+    AVG(POW(p.value - b.m, 3.0)) AS m3,
+    AVG(POW(p.value - b.m, 4.0)) AS m4,
+    SUM((p.idx - (b.n - 1) / 2.0) * (p.value - b.m)) AS sxy
+  FROM pos p JOIN base b USING (user_id, win_idx)
+  GROUP BY p.user_id, p.win_idx
+), vc AS (
+  SELECT user_id, win_idx, value, COUNT(*) AS c
+  FROM w GROUP BY user_id, win_idx, value
+), ent AS (
+  SELECT v.user_id, v.win_idx,
+    COUNT(*) AS n_distinct,
+    SUM((v.c::DOUBLE / b.n) * LOG2(v.c::DOUBLE / b.n)) AS plogp
+  FROM vc v JOIN base b USING (user_id, win_idx)
+  GROUP BY v.user_id, v.win_idx
+), ec AS (  -- ECDF percentile: smallest sorted value with (i+1)/n >= p
+  SELECT user_id, win_idx,
+    MIN(CASE WHEN rn_asc::DOUBLE / n >= 0.05 THEN value END) AS e005,
+    MIN(CASE WHEN rn_asc::DOUBLE / n >= 0.1  THEN value END) AS e010,
+    MIN(CASE WHEN rn_asc::DOUBLE / n >= 0.2  THEN value END) AS e020,
+    MIN(CASE WHEN rn_asc::DOUBLE / n >= 0.8  THEN value END) AS e080
+  FROM (
+    SELECT user_id, win_idx, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, win_idx ORDER BY value) AS rn_asc,
+           COUNT(*) OVER (PARTITION BY user_id, win_idx) AS n
+    FROM w
+  ) GROUP BY user_id, win_idx
+)
+SELECT b.user_id,
+  b.win_idx * {_W2STEP} AS win_start,
+  b.n AS n_points,
+  b.m AS f_mean,
+  b.med AS f_median,
+  b.mx AS f_max,
+  b.mn AS f_min,
+  b.mx - b.mn AS f_maxmin,
+  ROUND(SQRT(d.m2), 6) AS f_std,
+  ROUND(d.m2, 6) AS f_var,
+  SQRT(b.abs_energy / b.n) AS f_rms,
+  ROUND(d.mean_ad, 6) AS f_mad,
+  d.med_ad AS f_medad,
+  b.iqr AS f_iqr,
+  ROUND(CASE WHEN d.m2 = 0 THEN 0.0 ELSE d.m3 / POW(d.m2, 1.5) END, 6) AS f_skew,
+  ROUND(CASE WHEN d.m2 = 0 THEN -3.0 ELSE d.m4 / (d.m2 * d.m2) - 3.0 END, 6) AS f_kurt,
+  CASE WHEN b.n > 20 THEN ec.e005 END AS f_ecdf05,
+  CASE WHEN b.n > 20 THEN ec.e010 END AS f_ecdf10,
+  CASE WHEN b.n > 20 THEN ec.e020 END AS f_ecdf20,
+  CASE WHEN b.n > 20 THEN ec.e080 END AS f_ecdf80,
+  b.abs_energy AS f_abs_energy,
+  CASE WHEN b.n >= 2 THEN b.abs_energy / ((b.n - 1) / 100.0) END
+    AS f_total_energy,
+  ROUND(b.auc, 6) AS f_auc,
+  b.abs_energy AS f_autocorr,
+  ROUND(CASE WHEN b.abs_energy = 0 OR b.te = 0 THEN 0.0
+             ELSE b.te / b.abs_energy END, 6) AS f_centroid,
+  ROUND(CASE WHEN b.n <= 1 OR e.n_distinct = 1 THEN 0.0
+             ELSE -e.plogp / LOG2(b.n) END, 6) AS f_entropy,
+  b.mean_diff AS f_mean_diff,
+  b.median_diff AS f_median_diff,
+  b.mean_abs_diff AS f_mean_abs_diff,
+  b.median_abs_diff AS f_median_abs_diff,
+  b.sum_abs_diff AS f_sum_abs_diff,
+  ROUND(b.signal_dist, 6) AS f_signal_dist,
+  ROUND(d.sxy / (b.n * (b.n * b.n - 1) / 12.0), 6) AS f_slope,
+  b.zcr AS f_zcr,
+  b.pos_turn AS f_pos_turn,
+  b.neg_turn AS f_neg_turn,
+  b.npeaks AS f_npeaks,
+  ABS(b.mx - b.mn) AS f_pkpk
+FROM base b
+JOIN dev d USING (user_id, win_idx)
+JOIN ent e USING (user_id, win_idx)
+JOIN ec USING (user_id, win_idx)
+"""
+
+
 from feature_engineering_spark.plans.data_queries import (  # noqa: E402
     DATA_ORACLE_SQL,
     DATA_QUERIES,
@@ -547,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **MISC_QUERIES,
     "window_stats": q_window_stats,
     "window_features_35": q_window_features_35,
+    "window_features_sql": q_window_features_sql,
     "asof_join_events": q_asof_join_events,
     "asof_join_tolerance": q_asof_join_tolerance,
     "backfill_interp": q_backfill_interp,
@@ -567,6 +789,7 @@ ORACLE_SQL: dict[str, str] = {
     **DATA_ORACLE_SQL,
     **MISC_ORACLE_SQL,
     "window_stats": SQL_WINDOW_STATS,
+    "window_features_sql": SQL_WINDOW_FEATURES,
     "asof_join_events": SQL_ASOF,
     "asof_join_tolerance": SQL_ASOF_TOL,
     "backfill_interp": SQL_BACKFILL,
