@@ -17,7 +17,7 @@ Scale design notes (the point of each operator is its shuffle shape):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feature_engineering_spark.functions.text import (
@@ -73,44 +73,83 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: minhash_i = min over shingles of
-    murmur3(shingle, seed=i).
+    """Per-doc MinHash signature: minhash_i = min over shingles of a
+    salted md5-derived 60-bit hash (NOT murmur3: murmur/xxhash seeds have
+    no cross-engine twin; md5 is bit-identical in Spark and DuckDB, the
+    same trick as functions/text.token_hash64). One md5 per (shingle,
+    salt) yields TWO hash values (hex chars 1-15 and 17-31), halving the
+    digest cost of ``num_hashes`` independent hash functions.
 
-    Shape: explode shingles once, 32 hash columns per (doc, shingle) row,
-    groupBy(doc) with 32 min() aggregates — whole-stage codegen with
-    map-side partial mins (measured ~4x faster than per-hash
-    transform+array_min array traversals). Docs with no shingles get a
-    null signature and are excluded (they cannot near-dup by shingles)."""
+    Shape: explode shingles once, project all hash columns (md5 computed
+    once per salt via subexpression elimination), groupBy(doc) with
+    ``num_hashes`` min() aggregates — whole-stage codegen with map-side
+    partial mins (measured ~4x faster than per-hash transform+array_min
+    array traversals). Docs with no shingles get no signature row (they
+    cannot near-dup by shingles)."""
+    if num_hashes % 2:
+        raise ValueError("num_hashes must be even (two hashes per digest)")
     sh = word_shingles(F.col(text), shingle_n)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
     )
-    mins = [
-        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy("id").agg(*mins)
+    hash_cols = []
+    for j in range(num_hashes // 2):
+        d = F.md5(F.concat_ws(":", F.lit(j), F.col("shingle")))
+        hash_cols.append(
+            F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias(f"h{2 * j}")
+        )
+        hash_cols.append(
+            F.conv(F.substring(d, 17, 15), 16, 10).cast("long").alias(f"h{2 * j + 1}")
+        )
+    proj = exploded.select("id", *hash_cols)
+    mins = [F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    return proj.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sig: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Band the signature (bands x rows_per_band) and self-join on band
     buckets: docs sharing ANY full band become candidate pairs. The
     band-key groupBy/join is the only shuffle; its fan-out is tuned by
     (bands, rows_per_band) against the target similarity threshold
-    (s-curve: P(candidate) = 1-(1-j^r)^b)."""
-    # ONE pass: stack() unpivots the 8 band keys from a single signature
-    # computation (a per-band union would recompute the 32 minhash
+    (s-curve: P(candidate) = 1-(1-j^r)^b).
+
+    ``max_bucket_size`` guards the degenerate case: a bucket of B
+    near-identical docs emits B^2/2 candidate pairs, so ONE mega-cluster
+    of boilerplate makes the join quadratic. Buckets above the cap are
+    dropped entirely — their members are (near-)identical clusters that
+    the EXACT dedup pass upstream is responsible for (jobs/dedup_corpus.py
+    runs exact dedup first; this cap makes that contract explicit instead
+    of an unguarded assumption). The bucket count reuses the join's own
+    (band, bucket) hash partitioning — no extra shuffle."""
+    # ONE pass: stack() unpivots the band keys from a single signature
+    # computation (a per-band union would recompute the minhash
     # aggregates once per branch — measured 8x slower), and the self-join
     # shuffles both sides identically so AQE reuses the exchange.
+    # Band key = md5-derived 60-bit hash of the comma-joined band values
+    # (cross-engine twin in DuckDB SQL, unlike Spark's hash()).
     band_exprs = []
     for b in range(bands):
         cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-        band_exprs.append(f"{b}, hash({cols})")
+        key = (
+            f"cast(conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        band_exprs.append(f"{b}, {key}")
     banded = sig.selectExpr(
         "id", f"stack({bands}, {', '.join(band_exprs)}) as (band, bucket)"
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc") <= max_bucket_size)
+            .drop("__bc")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -132,12 +171,13 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     Jaccard verify >= threshold. Returns verified (a, b, jaccard)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text, id_col, num_hashes, shingle_n)
-    cand = minhash_lsh_candidates(sig, bands, rows_per_band)
+    cand = minhash_lsh_candidates(sig, bands, rows_per_band, max_bucket_size)
     g = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
     )
@@ -160,17 +200,29 @@ def simhash_neardup_pairs(
     max_hamming: int = 8,
     prefix_bits: int = 12,
     nbits: int = 60,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """SimHash near-dup: signature scan-side, candidates bucketed by the
     top ``prefix_bits`` of the signature (near-dups with differing prefixes
     are missed — the standard trade; production rotates the signature over
-    several permutations), verified by Hamming distance."""
+    several permutations), verified by Hamming distance.
+
+    ``max_bucket_size`` drops degenerate buckets (near-identical clusters
+    belong to the exact-dedup pass) — same guard and rationale as
+    minhash_lsh_candidates."""
     from feature_engineering_spark.functions.text import hamming64, simhash64
 
     s = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text), nbits).alias("sh")
     )
     s = s.withColumn("bucket", F.shiftright("sh", nbits - prefix_bits))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        s = (
+            s.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc") <= max_bucket_size)
+            .drop("__bc")
+        )
     l, r = s.alias("l"), s.alias("r")
     return (
         l.join(

@@ -213,13 +213,67 @@ WHERE len(list_distinct(a.sh || b.sh)) > 0
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only: Spark murmur3 seeds have no DuckDB
-    twin; recall/precision property-tested in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup — fully oracle-checked: the md5-derived minhash
+    values, band keys, bucket-size guard, LSH self-join, and exact-Jaccard
+    verify all have DuckDB twins below. Recall/precision additionally
+    property-tested in tests/test_text_dedup.py."""
     from feature_engineering_spark.operators.dedup import minhash_lsh_dedup
 
     d = _docs_with_dupes(spark, sf_dir)
     out = minhash_lsh_dedup(d, threshold=0.5)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_MINHASH_LSH = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPES}),
+g AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(parts) >= 3 THEN
+           list_distinct([concat(parts[i], ' ', parts[i+1], ' ', parts[i+2])
+                          for i in range(1, len(parts) - 1)])
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM d)
+),
+ex AS (SELECT id, unnest(sh) AS s FROM g),
+hx AS (  -- one md5 per (shingle, salt j) yields hash 2j (hex 1-15) and 2j+1 (17-31)
+  SELECT id, j, md5(concat(j, ':', s)) AS dg
+  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS j) seeds
+),
+sig AS (
+  SELECT id, j,
+         MIN(CAST(concat('0x', substr(dg, 1, 15)) AS BIGINT)) AS m0,
+         MIN(CAST(concat('0x', substr(dg, 17, 15)) AS BIGINT)) AS m1
+  FROM hx GROUP BY id, j
+),
+mh AS (
+  SELECT id, 2 * j AS k, m0 AS v FROM sig
+  UNION ALL
+  SELECT id, 2 * j + 1 AS k, m1 AS v FROM sig
+),
+bandkey AS (  -- band = 4 consecutive minhashes; key = md5 of the joined values
+  SELECT id, k // 4 AS band,
+         CAST(concat('0x', substr(md5(string_agg(v::VARCHAR, ',' ORDER BY k)),
+                                  1, 15)) AS BIGINT) AS bucket
+  FROM mh GROUP BY id, k // 4
+),
+guarded AS (  -- bucket-size cap 64: mega-clusters belong to exact dedup
+  SELECT id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bc FROM bandkey
+  ) WHERE bc <= 64
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM guarded l JOIN guarded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT c.a, c.b,
+       ROUND(len(list_intersect(ga.sh, gb.sh))::DOUBLE
+             / len(list_distinct(ga.sh || gb.sh)), 6) AS jaccard
+FROM cand c JOIN g ga ON ga.id = c.a JOIN g gb ON gb.id = c.b
+WHERE len(list_distinct(ga.sh || gb.sh)) > 0
+  AND len(list_intersect(ga.sh, gb.sh))::DOUBLE
+      / len(list_distinct(ga.sh || gb.sh)) >= 0.5
+"""
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,8 +293,12 @@ h AS (
   FROM d
 ), s AS (
   SELECT doc_id, ({{simhash_bits}}) AS sh FROM h
-), b AS (
-  SELECT doc_id, sh, sh >> 52 AS bucket FROM s
+), b AS (  -- bucket-size cap 64 mirrors the operator's degenerate-cluster guard
+  SELECT doc_id, sh, bucket FROM (
+    SELECT doc_id, sh, sh >> 52 AS bucket,
+           COUNT(*) OVER (PARTITION BY sh >> 52) AS bc
+    FROM s
+  ) WHERE bc <= 64
 )
 SELECT l.doc_id AS a, r.doc_id AS b,
        CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
@@ -351,6 +409,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_lsh_dedup": SQL_MINHASH_LSH,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,

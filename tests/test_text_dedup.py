@@ -154,3 +154,35 @@ def test_embedding_neardup(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     out = embedding_neardup_pairs(df, threshold=0.95).toPandas()
     assert set(map(tuple, out[["a", "b"]].to_numpy())) == {(0, 1)}
+
+
+def test_minhash_bucket_guard_caps_mega_cluster(spark):
+    """A 1k-identical-doc boilerplate cluster must NOT go quadratic: its
+    buckets exceed max_bucket_size and are dropped (identical clusters are
+    the exact-dedup pass's job), while genuine near-dup pairs outside the
+    cluster are still found. Candidate count stays O(cluster), not
+    O(cluster^2)."""
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    boiler = " ".join(rng.choice(vocab, 30))
+    rows = [(i, boiler) for i in range(1000)]
+    expected_pairs = set()
+    did = 2000
+    for _ in range(3):
+        words = list(rng.choice(vocab, 30))
+        rows += [(did, " ".join(words)), (did + 1, " ".join(words[:-1] + ["qqq"]))]
+        expected_pairs.add((did, did + 1))
+        did += 2
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = minhash_lsh_dedup(df, threshold=0.5, max_bucket_size=64).toPandas()
+    got_pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
+    assert not any(a < 1000 and b < 1000 for a, b in got_pairs), (
+        "mega-cluster pairs leaked through the bucket guard"
+    )
+    assert got_pairs == expected_pairs
+    # ungated control on a small slice: identical docs DO pair when under cap
+    small = spark.createDataFrame(
+        pd.DataFrame([(0, boiler), (1, boiler)], columns=["doc_id", "text"])
+    )
+    ungated = minhash_lsh_dedup(small, threshold=0.5).toPandas()
+    assert set(map(tuple, ungated[["a", "b"]].to_numpy())) == {(0, 1)}
