@@ -329,6 +329,86 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup (the 100-TB scale path; all-pairs
+    embed_neardup is its exactness baseline). Near-dups constructed
+    in-query (scaled+shifted copies of vec_id<50, id+10000) with the
+    identical construction in SQL. Fully oracle-checked: the md5-derived
+    hyperplanes are literals, so bucketing, guard, candidate join, and
+    cosine verify all replicate in DuckDB."""
+    from feature_engineering_spark.operators.dedup import embedding_neardup_lsh
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mut = e.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02) + F.lit(0.03)).alias(
+            "embedding"
+        ),
+    )
+    d = e.unionByName(mut)
+    out = embedding_neardup_lsh(d, dim=64, threshold=-1.0, nbits=16, bands=4)
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine")).where(
+        F.round("cosine", 4) >= 0.8
+    )
+
+
+def _srp_sql() -> str:
+    from feature_engineering_spark.operators.dedup import srp_hyperplanes
+
+    planes = srp_hyperplanes(64, 16, 7)
+    # identical left-associated add chains as the Spark operator emits —
+    # same IEEE op sequence, bit-identical dot products, identical sign bits
+    bits = [
+        "(CASE WHEN 0.0 + "
+        + " + ".join(f"v[{k + 1}] * ({w!r})" for k, w in enumerate(h))
+        + " > 0 THEN 1 ELSE 0 END)"
+        for h in planes
+    ]
+    buckets = []
+    for b in range(4):
+        terms = " + ".join(f"{bits[4 * b + r]} * {2 ** r}" for r in range(4))
+        buckets.append(f"0 + {terms} AS bucket{b}")
+    bucket_sql = ",\n         ".join(buckets)
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.02 + 0.03) AS v
+  FROM e0 WHERE vec_id < 50
+),
+sig AS (
+  SELECT vec_id,
+         {bucket_sql}
+  FROM d
+),
+banded AS (
+  SELECT vec_id, 0 AS band, bucket0 AS bucket FROM sig
+  UNION ALL SELECT vec_id, 1, bucket1 FROM sig
+  UNION ALL SELECT vec_id, 2, bucket2 FROM sig
+  UNION ALL SELECT vec_id, 3, bucket3 FROM sig
+),
+guarded AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bc FROM banded
+  ) WHERE bc <= 4096
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM guarded l JOIN guarded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.a, c.b, ROUND(list_cosine_similarity(da.v, db.v), 4) AS cosine
+FROM cand c JOIN d da ON da.vec_id = c.a JOIN d db ON db.vec_id = c.b
+WHERE ROUND(list_cosine_similarity(da.v, db.v), 4) >= 0.8
+"""
+
+
+SQL_EMBED_NEARDUP_LSH = _srp_sql()
+
+
 # ---------------------------------------------------------------- similarity
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_engineering_spark.operators.similarity import brute_force_topk
@@ -399,6 +479,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
 }
@@ -411,6 +492,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh_dedup": SQL_MINHASH_LSH,
     "embed_neardup": SQL_EMBED_NEARDUP,
+    "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,

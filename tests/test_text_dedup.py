@@ -19,6 +19,7 @@ from feature_engineering_spark.functions.text import (
 )
 from feature_engineering_spark.operators.dedup import (
     dedup_exact,
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -186,3 +187,41 @@ def test_minhash_bucket_guard_caps_mega_cluster(spark):
     )
     ungated = minhash_lsh_dedup(small, threshold=0.5).toPandas()
     assert set(map(tuple, ungated[["a", "b"]].to_numpy())) == {(0, 1)}
+
+
+def test_embedding_lsh_recall_vs_allpairs(spark):
+    """SRP-LSH pairs vs the all-pairs exactness baseline: the verify step
+    admits no false positives, and recall >= 0.9 on a near-dup fixture."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(12):  # perturbed copies -> cosine ~0.999 near-dups
+        v = base[i] + rng.normal(scale=0.05, size=16)
+        rows.append((100 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_neardup_pairs(df, threshold=0.9).toPandas()
+    lsh = embedding_neardup_lsh(
+        df, dim=16, threshold=0.9, nbits=16, bands=4
+    ).toPandas()
+    exact_pairs = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    lsh_pairs = set(map(tuple, lsh[["a", "b"]].to_numpy()))
+    assert lsh_pairs <= exact_pairs, "verify step leaked a false positive"
+    assert len(exact_pairs) >= 12
+    assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_embedding_lsh_bucket_guard(spark):
+    """An identical-vector mega-cluster is dropped by the bucket cap while
+    an outside near-dup pair survives."""
+    rng = np.random.default_rng(3)
+    v0 = rng.normal(size=16)
+    rows = [(i, v0.tolist()) for i in range(200)]
+    a = rng.normal(size=16)
+    rows += [(500, a.tolist()), (501, (a + rng.normal(scale=0.03, size=16)).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_neardup_lsh(
+        df, dim=16, threshold=0.9, nbits=16, bands=4, max_bucket_size=64
+    ).toPandas()
+    pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
+    assert not any(x < 200 and y < 200 for x, y in pairs)
+    assert (500, 501) in pairs
