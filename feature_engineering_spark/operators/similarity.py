@@ -2,11 +2,12 @@
 (exactness baseline) and an IVF-style bucketed variant (the scale path).
 
 At 10^12-doc scale brute force is a full scan per query — IVF bounds the
-scanned fraction to nprobe/ncentroids. Centroid selection here is
-deterministic (first-C vectors by id); a production build would run
-distributed k-means (Spark ML) to place centroids, which changes recall
-but not the operator's shuffle shape: one broadcast of centroids, one
-bucket-pruned scan.
+scanned fraction to nprobe/ncentroids. Centroid placement:
+``kmeans_centroids`` (Spark ML k-means, fit on a sample — the production
+path; recall at scale hinges on centroid quality) or deterministic
+first-C-by-id (kept as the DuckDB-oracle fixture: k-means isn't
+SQL-replicable). Either way the operator's shuffle shape is the same:
+one broadcast of centroids, one bucket-pruned scan.
 """
 
 from __future__ import annotations
@@ -50,6 +51,38 @@ def brute_force_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    emb: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Centroid placement via Spark ML k-means — the production path for
+    ivf_topk (first-C-by-id centroids mis-bucket skewed data; recall@k
+    with k-means vs first-C is property-tested in
+    tests/test_similarity_multimodal.py).
+
+    Fit on a ``sample_fraction`` of the table when the corpus is large:
+    centroid quality needs a sketch of the distribution, not every row —
+    at 10^12 docs, fit on ~10^6 sampled rows. Deterministic for a fixed
+    seed. Returns the same (centroid_id, vector) list shape ivf_topk
+    consumes (tiny: k rows, driver-side then broadcast)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = df.select(
+        array_to_vector(F.col(emb).cast("array<double>")).alias("features")
+    )
+    if sample_fraction is not None:
+        d = d.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(d)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
 
 
 def ivf_assign(

@@ -122,3 +122,48 @@ def test_streaming_sessionize_smoke(spark, pages_df):
 
     ws = streaming_window_stats(derive_text_signals(pages_df))
     assert ws.count() > 0
+
+
+def test_ivf_kmeans_prunes_where_first_c_degenerates(spark):
+    """When early ids all come from one cluster, first-C-by-id centroids
+    degenerate: nearly the whole table collapses into one bucket, so a
+    probe scans ~everything (recall survives but IVF prunes nothing — the
+    scale failure). k-means centroids keep recall@20 >= 0.9 with nprobe=1
+    while actually bounding the scanned bucket. Deterministic (seeded data,
+    seeded k-means)."""
+    from feature_engineering_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(4, 8)) * 5.0
+    assignments = [0] * 30 + [i % 4 for i in range(370)]
+    rows = [
+        (vid, (centers[c] + rng.normal(scale=0.3, size=8)).tolist())
+        for vid, c in enumerate(assignments)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = (centers[3] + rng.normal(scale=0.3, size=8)).tolist()
+    truth = set(brute_force_topk(df, query, k=20).toPandas().vec_id)
+
+    first_c = [
+        (int(r.vec_id), list(r.embedding))
+        for r in df.where(F.col("vec_id") < 16).collect()
+    ]
+    km = kmeans_centroids(df, k=8, seed=7)
+
+    def max_bucket(cents):
+        sizes = (
+            ivf_assign(df, cents).groupBy("centroid_id").count().toPandas()
+        )
+        return int(sizes["count"].max())
+
+    rec_km = len(set(
+        ivf_topk(df, query, km, k=20, nprobe=1).toPandas().vec_id
+    ) & truth) / 20.0
+    assert rec_km >= 0.9, rec_km
+    # pruning: k-means buckets stay near-balanced; degenerate first-C
+    # centroids pile most of the table into single buckets
+    assert max_bucket(km) <= 150
+    assert max_bucket(first_c) >= 2 * max_bucket(km)
