@@ -52,6 +52,41 @@ def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synthesize_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FMM1 containers derived from an id column — the
+    oracle-checkable fixture. Every byte is a closed-form function of the
+    id (w = 4 + id%13, h = 4 + 3*id%13, nf = 1 + id%5, pixel[i] =
+    (id*31 + i*7) % 256), so a SQL oracle can independently re-derive what
+    the DECODED features must be without parsing the blob — which makes the
+    whole Spark path (byte construction -> header parse -> frame sampling
+    -> resize -> stats) an end-to-end checked black box."""
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w = 4 + did % 13
+                h = 4 + (did * 3) % 13
+                nf = 1 + did % 5
+                n = w * h * nf
+                px = ((did * 31 + np.arange(n) * 7) % 256).astype(np.uint8)
+                rows.append(
+                    (
+                        did,
+                        ["image", "audio", "video"][did % 3],
+                        _MAGIC + struct.pack(">HHH", w, h, nf) + px.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload"]
+            )
+
+    return df.select(id_col).mapInPandas(
+        mapper, schema="media_id long, media_type string, payload binary"
+    )
+
+
 def _parse_header(payload: bytes) -> tuple[int, int, int] | None:
     if payload is None or len(payload) < 10 or payload[:4] != _MAGIC:
         return None

@@ -470,6 +470,76 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# ---------------------------------------------------------------- multimodal
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end check of the multimodal path: deterministic FMM1
+    containers are synthesized from doc ids (every byte a closed-form
+    function of the id), then the REAL media_features operator parses
+    headers from the bytes, samples frames (stride 2), resizes, and
+    aggregates — while the DuckDB oracle re-derives the same numbers by
+    direct arithmetic over generate_series, never touching a blob. The
+    decode stub boundary (operators/multimodal.py USE_REAL_CODECS) stays
+    documented; everything around it is hash-verified."""
+    from feature_engineering_spark.operators.multimodal import (
+        media_features,
+        synthesize_media_from_ids,
+    )
+
+    d = _docs(spark, sf_dir)
+    media = synthesize_media_from_ids(d, id_col="doc_id")
+    out = media_features(media, frame_stride=2)
+    return out.select(
+        "media_id", "media_type", "width", "height", "n_frames",
+        "sampled_frames",
+        F.col("mean_intensity"),  # exact integer sum / n — bit-identical
+        F.round("std_intensity", 6).alias("std_intensity"),
+        "resized_checksum",
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         4 + doc_id % 13 AS w,
+         4 + (doc_id * 3) % 13 AS h,
+         1 + doc_id % 5 AS nf
+  FROM documents
+), frames AS (  -- sampled frames: stride 2
+  SELECT media_id, w, h, nf, unnest(generate_series(0, nf - 1, 2)) AS f FROM ids
+), pix AS (
+  SELECT media_id, w, h, f, unnest(generate_series(0, w * h - 1)) AS j FROM frames
+), vals AS (  -- pixel[i] = (id*31 + i*7) % 256 at global index i = f*w*h + j
+  SELECT media_id,
+         CAST((media_id * 31 + (f * w * h + j) * 7) % 256 AS DOUBLE) AS v
+  FROM pix
+), m1 AS (
+  SELECT media_id, COUNT(*) AS n, AVG(v) AS m FROM vals GROUP BY media_id
+), m2 AS (  -- numpy two-pass std: sqrt(mean((x - m)^2))
+  SELECT v.media_id, SQRT(AVG((v.v - m1.m) * (v.v - m1.m))) AS sd
+  FROM vals v JOIN m1 USING (media_id) GROUP BY v.media_id
+), yrows AS (
+  SELECT media_id, w, h, unnest(generate_series(0, 7)) AS yi FROM ids
+), xrows AS (
+  SELECT media_id, w, h, yi, unnest(generate_series(0, 7)) AS xi FROM yrows
+), rs AS (  -- 8x8 nearest-neighbour resize of frame 0: ys=(yi*h)//8, xs=(xi*w)//8
+  SELECT media_id,
+         CAST(SUM((media_id * 31 + (((yi * h) // 8) * w + ((xi * w) // 8)) * 7)
+                  % 256) AS BIGINT) AS resized_checksum
+  FROM xrows GROUP BY media_id
+)
+SELECT i.media_id, i.media_type,
+       CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+       CAST(i.nf AS INT) AS n_frames,
+       CAST((i.nf + 1) // 2 AS INT) AS sampled_frames,
+       m1.m AS mean_intensity,
+       ROUND(m2.sd, 6) AS std_intensity,
+       rs.resized_checksum
+FROM ids i JOIN m1 USING (media_id) JOIN m2 USING (media_id)
+JOIN rs USING (media_id)
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id_counts": q_lang_id_counts,
@@ -482,6 +552,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "media_features": q_media_features,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -496,4 +567,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "media_features": SQL_MEDIA_FEATURES,
 }
