@@ -81,3 +81,24 @@ def composite_target(
     if base_col:
         out = out.withColumn(f"{out_col}_kpi", F.col(out_col) + F.col(base_col))
     return out
+
+
+def drop_duplicate_columns(df: DataFrame) -> DataFrame:
+    """P11 (reference data_loaders.py:26-31: duplicated columns from a DB
+    error are dropped keeping the first occurrence). Spark can't address
+    duplicate names directly, so rename positionally via toDF, then drop
+    the renamed extras. No-op (same plan) when names are already unique."""
+    seen: set[str] = set()
+    names: list[str] = []
+    drops: list[str] = []
+    for i, c in enumerate(df.columns):
+        if c in seen:
+            alias = f"__dup{i}__{c}"
+            names.append(alias)
+            drops.append(alias)
+        else:
+            seen.add(c)
+            names.append(c)
+    if not drops:
+        return df
+    return df.toDF(*names).drop(*drops)

@@ -52,3 +52,33 @@ def test_labels_shape(labels_pdf):
     lurls = set(labels_pdf["url"].unique())
     assert lurls < purls
     assert np.mean([u in lurls for u in purls]) < 0.95
+
+
+def test_jdbc_pushdown_subquery_text():
+    from feature_engineering_spark.sources.io import jdbc_pushdown_subquery
+
+    assert jdbc_pushdown_subquery("events") == "(SELECT * FROM events) AS src"
+    got = jdbc_pushdown_subquery(
+        "public.events",
+        columns=["user_id", "ts"],
+        predicates=["ts >= '2024-01-01'", "value > 0"],
+    )
+    assert got == (
+        "(SELECT user_id, ts FROM public.events"
+        " WHERE (ts >= '2024-01-01') AND (value > 0)) AS src"
+    )
+
+
+def test_drop_duplicate_columns(spark):
+    from feature_engineering_spark.operators.split import drop_duplicate_columns
+
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(1, "y", 2.0)], "id long, name string, v double")
+    j = a.join(b, a.id == b.id)  # duplicate id + name columns
+    assert j.columns.count("id") == 2
+    out = drop_duplicate_columns(j)
+    assert out.columns == ["id", "name", "v"]
+    row = out.collect()[0]
+    assert row["name"] == "x" and row["v"] == 2.0  # first occurrence kept
+    # no-op on unique schemas
+    assert drop_duplicate_columns(a) is a
