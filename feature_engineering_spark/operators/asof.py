@@ -121,16 +121,23 @@ def _asof_union(
         F.col(rts).cast("timestamp").alias("__ts"),
         F.lit(rtag).alias("__tag"),
         payload.alias("__r"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
-          for c in left.columns],
     )
+    # Left payload: ONE nullable struct of the non-key left columns (keys
+    # stay top-level for the hash partitioning). An UnsafeRow reserves a
+    # fixed 8-byte slot per top-level field even when it is null, so the
+    # old per-column `__l_*` padding made every RIGHT row pay ~8B x |left
+    # schema| of dead weight through the union's shuffle; a null struct
+    # costs one slot.
+    lcols = [c for c in left.columns if c not in keys]
+    lstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in lcols])
     l2 = left.select(
         *[F.col(k) for k in keys],
         F.col(lts).cast("timestamp").alias("__ts"),
         F.lit(ltag).alias("__tag"),
         F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
-        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+        lstruct.alias("__l"),
     )
+    r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
     u = l2.unionByName(r2)
 
     # Duplicate right timestamps: without a tiebreak, "which right row
@@ -153,8 +160,12 @@ def _asof_union(
         dt = epoch_seconds(F.col("__ts")) - epoch_seconds(F.col("__m.__rts"))
         in_tol = (F.abs(dt) <= F.lit(float(tol)))
         res = res.withColumn("__m", F.when(in_tol, F.col("__m")))
+    out_left = [
+        F.col(c).alias(c) if c in keys else F.col("__l").getField(c).alias(c)
+        for c in left.columns
+    ]
     return res.select(
-        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *out_left,
         F.col("__m.__rts").alias("matched_ts"),
         *[F.col(f"__m.v{i}").alias(n) for i, n in enumerate(out_names)],
     )
