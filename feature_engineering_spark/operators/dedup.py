@@ -66,43 +66,58 @@ def ngram_jaccard_pairs(
     )
 
 
+_MH_P = 2147483647  # Mersenne prime 2^31-1: a*x+b stays < 2^63, no overflow
+
+
+def minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine universal hash family
+    h_i(x) = (a_i*x + b_i) mod p — derived from md5 so any engine can
+    reproduce the exact same constants."""
+    import hashlib
+
+    def _h(tag: str) -> int:
+        return int(hashlib.md5(f"{seed}:{tag}".encode()).hexdigest()[:8], 16)
+
+    return [
+        (_h(f"a:{i}") % (_MH_P - 1) + 1, _h(f"b:{i}") % _MH_P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    seed: int = 7,
 ) -> DataFrame:
-    """Per-doc MinHash signature: minhash_i = min over shingles of a
-    salted md5-derived 60-bit hash (NOT murmur3: murmur/xxhash seeds have
-    no cross-engine twin; md5 is bit-identical in Spark and DuckDB, the
-    same trick as functions/text.token_hash64). One md5 per (shingle,
-    salt) yields TWO hash values (hex chars 1-15 and 17-31), halving the
-    digest cost of ``num_hashes`` independent hash functions.
+    """Per-doc MinHash signature: minhash_i = min over shingles of
+    h_i(x) = (a_i*x + b_i) mod (2^31-1), where x is ONE md5-derived 60-bit
+    shingle hash reduced mod p. Cross-engine exact (md5 + integer
+    arithmetic are bit-identical in Spark and DuckDB — murmur/xxhash seeds
+    are not), and cheap: one digest per shingle, then ``num_hashes``
+    multiply-add-mods instead of ``num_hashes`` digests (measured 3x+
+    faster than per-salt md5 calls at sf0.1).
 
-    Shape: explode shingles once, project all hash columns (md5 computed
-    once per salt via subexpression elimination), groupBy(doc) with
-    ``num_hashes`` min() aggregates — whole-stage codegen with map-side
-    partial mins (measured ~4x faster than per-hash transform+array_min
-    array traversals). Docs with no shingles get no signature row (they
-    cannot near-dup by shingles)."""
-    if num_hashes % 2:
-        raise ValueError("num_hashes must be even (two hashes per digest)")
+    Shape: explode shingles once, one md5+conv projection, groupBy(doc)
+    with ``num_hashes`` min() aggregates — whole-stage codegen with
+    map-side partial mins (measured ~4x faster than per-hash
+    transform+array_min array traversals). Docs with no shingles get no
+    signature row (they cannot near-dup by shingles)."""
     sh = word_shingles(F.col(text), shingle_n)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
     )
-    hash_cols = []
-    for j in range(num_hashes // 2):
-        d = F.md5(F.concat_ws(":", F.lit(j), F.col("shingle")))
-        hash_cols.append(
-            F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias(f"h{2 * j}")
-        )
-        hash_cols.append(
-            F.conv(F.substring(d, 17, 15), 16, 10).cast("long").alias(f"h{2 * j + 1}")
-        )
-    proj = exploded.select("id", *hash_cols)
-    mins = [F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    x = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % F.lit(_MH_P)
+    )
+    proj = exploded.select("id", x.alias("x"))
+    mins = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
     return proj.groupBy("id").agg(*mins)
 
 

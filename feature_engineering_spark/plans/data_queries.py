@@ -224,6 +224,30 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_sql_parts(num_hashes: int = 32, bands: int = 8) -> tuple[str, str]:
+    """The 32 affine-minhash MIN aggregates and 8 band-key expressions,
+    generated from the SAME constants the Spark operator uses."""
+    from feature_engineering_spark.operators.dedup import _MH_P, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n         ".join(
+        f"MIN((x * {a} + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = num_hashes // bands
+    keys = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        keys.append(
+            f"SELECT id, {b} AS band, CAST(concat('0x', "
+            f"substr(md5(concat_ws(',', {cols})), 1, 15)) AS BIGINT) AS bucket"
+            " FROM sig"
+        )
+    return mins, "\n  UNION ALL ".join(keys)
+
+
+_MH_MINS, _MH_BANDKEYS = _minhash_sql_parts()
+
 SQL_MINHASH_LSH = f"""
 WITH d AS ({SQL_DOCS_WITH_DUPES}),
 g AS (
@@ -235,26 +259,17 @@ g AS (
   FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM d)
 ),
 ex AS (SELECT id, unnest(sh) AS s FROM g),
-hx AS (  -- one md5 per (shingle, salt j) yields hash 2j (hex 1-15) and 2j+1 (17-31)
-  SELECT id, j, md5(concat(j, ':', s)) AS dg
-  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS j) seeds
+hx AS (  -- one md5 per shingle -> 60-bit x mod p; minhashes are affine maps of x
+  SELECT id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+  FROM ex
 ),
 sig AS (
-  SELECT id, j,
-         MIN(CAST(concat('0x', substr(dg, 1, 15)) AS BIGINT)) AS m0,
-         MIN(CAST(concat('0x', substr(dg, 17, 15)) AS BIGINT)) AS m1
-  FROM hx GROUP BY id, j
+  SELECT id,
+         {_MH_MINS}
+  FROM hx GROUP BY id
 ),
-mh AS (
-  SELECT id, 2 * j AS k, m0 AS v FROM sig
-  UNION ALL
-  SELECT id, 2 * j + 1 AS k, m1 AS v FROM sig
-),
-bandkey AS (  -- band = 4 consecutive minhashes; key = md5 of the joined values
-  SELECT id, k // 4 AS band,
-         CAST(concat('0x', substr(md5(string_agg(v::VARCHAR, ',' ORDER BY k)),
-                                  1, 15)) AS BIGINT) AS bucket
-  FROM mh GROUP BY id, k // 4
+bandkey AS (
+  {_MH_BANDKEYS}
 ),
 guarded AS (  -- bucket-size cap 64: mega-clusters belong to exact dedup
   SELECT id, band, bucket FROM (
