@@ -28,7 +28,7 @@ def make_partition_window_mapper(
     min_points: int,
     exclusive_end: bool,
     include_sequences: bool,
-    bounds_cols: tuple[str, str, str, str] | None = None,
+    bounds_cols: tuple[str, str, str] | None = None,
 ):
     """Build the per-partition mapper for mapInPandas.
 
@@ -38,8 +38,11 @@ def make_partition_window_mapper(
     compute_features_batch call per signal and ONE output frame — Python
     and Arrow overhead is per-partition, not per-group.
 
-    ``bounds_cols`` (salted path) = (t0s, t1, chunk_lo, chunk_hi) column
-    names: per-group grid-range overrides + window-ownership filter.
+    ``bounds_cols`` (salted path) = (t0s, t1, span) column names: per-group
+    grid-range overrides; the chunk ownership window [chunk_lo, chunk_hi)
+    is derived here as t0s + chunk*span (same double arithmetic the JVM
+    side used to ship as two extra per-row columns — deriving it in the
+    kernel saves 16 bytes/row through the salted shuffle).
     """
     group_cols = [key] if bounds_cols is None else [key, "__chunk"]
 
@@ -66,8 +69,9 @@ def make_partition_window_mapper(
             else:
                 t0s = pdf[bounds_cols[0]].iat[a]
                 t1 = pdf[bounds_cols[1]].iat[a]
-                c_lo = pdf[bounds_cols[2]].iat[a]
-                c_hi = pdf[bounds_cols[3]].iat[a]
+                span = pdf[bounds_cols[2]].iat[a]
+                c_lo = t0s + gkeys[1][a] * span
+                c_hi = c_lo + span
                 starts = np.arange(t0s, t1 + 1e-9, step)
                 starts = starts[(starts >= c_lo - 1e-9) & (starts < c_hi - 1e-9)]
             if len(starts) == 0:

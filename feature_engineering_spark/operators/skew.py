@@ -104,10 +104,8 @@ def salted_window_features(
     exploded = j.withColumn(
         "__chunk", F.explode(F.sequence(halo_lo, own_chunk.cast("long")))
     )
-    chunk_lo = F.col("__t0s") + F.col("__chunk") * F.col("__span")
-    exploded = exploded.withColumn("__clo", chunk_lo).withColumn(
-        "__chi", chunk_lo + F.col("__span")
-    )
+    # chunk ownership bounds [t0s + chunk*span, +span) are derived inside
+    # the kernel from (t0s, span, chunk) — not shipped as per-row columns
 
     from feature_engineering_spark.functions.window_kernel import (
         make_partition_window_mapper,
@@ -120,6 +118,6 @@ def salted_window_features(
     mapper = make_partition_window_mapper(
         key, signals, [f.name for f in schema.fields], window_size, step,
         min_points, exclusive_end, include_sequences=False,
-        bounds_cols=("__t0s", "__t1", "__clo", "__chi"),
+        bounds_cols=("__t0s", "__t1", "__span"),
     )
     return part.mapInPandas(mapper, schema=schema)
