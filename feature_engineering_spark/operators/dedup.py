@@ -10,9 +10,13 @@ Scale design notes (the point of each operator is its shuffle shape):
   exact Jaccard before being reported. Never an all-pairs product.
 - simhash: signature scan-side; bucketing by signature prefix bounds the
   candidate join the same way.
-- embedding near-dup: LSH via random hyperplanes would be next; the
-  provided baseline buckets by coarse quantization and verifies cosine
-  within buckets.
+- embedding near-dup: signed-random-projection LSH (embedding_neardup_lsh)
+  is the scale path — hyperplane sign bits scan-side, band-bucket join,
+  exact in-bucket cosine verify; the all-pairs operator is the recall
+  oracle for tests only.
+- all LSH candidate generators cap bucket sizes: near-identical
+  mega-clusters are the exact-dedup pass's responsibility, never a
+  quadratic join.
 """
 
 from __future__ import annotations

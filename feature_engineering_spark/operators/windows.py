@@ -106,6 +106,23 @@ def sliding_window_features(
     return part.mapInPandas(mapper, schema=schema)
 
 
+def direction_filter(
+    df: DataFrame, seq_col: str = "seq", direction: str = "increasing"
+) -> DataFrame:
+    """P8 (reference data_transforms.py:66: keep segments whose time runs
+    forward, ``Time[-1] - Time[0] > 0``): sequence-level filter comparing a
+    sequence's last element to its first. ``direction='increasing'`` keeps
+    strictly-forward sequences, ``'decreasing'`` strictly-backward ones.
+    Pure JVM element_at — no shuffle beyond whatever built the sequences."""
+    first = F.element_at(seq_col, 1)
+    last = F.element_at(seq_col, -1)
+    if direction == "increasing":
+        return df.where(last > first)
+    if direction == "decreasing":
+        return df.where(last < first)
+    raise ValueError(f"direction must be increasing|decreasing, got {direction}")
+
+
 def derive_text_signals(df: DataFrame, text: str = "text") -> DataFrame:
     """Numeric per-page signals derived from text — the web-page analog of
     the reference's sensor channels (get_features.py:109-124). Pure JVM

@@ -322,6 +322,50 @@ FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 10
 """
 
 
+# ---------------------------------------------------------------- P8
+def q_direction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction filter on built sequences (reference keeps segments whose
+    time runs forward): keep (user, event_type) sequences whose last value
+    exceeds the first, in (ts, event_id) order."""
+    from feature_engineering_spark.operators.windows import direction_filter
+
+    ev = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id", "event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "rows"
+        )
+    )
+    seqs = seqs.select(
+        "user_id", "event_type", F.col("rows.value").alias("seq")
+    )
+    out = direction_filter(seqs, "seq", "increasing")
+    return out.select(
+        "user_id", "event_type",
+        F.size("seq").alias("seq_len"),
+        F.element_at("seq", 1).alias("first_value"),
+        F.element_at("seq", -1).alias("last_value"),
+    )
+
+
+SQL_DIRECTION_FILTER = """
+WITH o AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), fl AS (
+  SELECT user_id, event_type, CAST(n AS INT) AS seq_len,
+         MAX(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+         MAX(CASE WHEN rn_d = 1 THEN value END) AS last_value
+  FROM o GROUP BY user_id, event_type, n
+)
+SELECT * FROM fl WHERE last_value > first_value
+"""
+
+
 # ---------------------------------------------------------------- top-k/group
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per user (row_number window — the canonical
@@ -404,6 +448,7 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nan_audit": q_nan_audit,
     "distinct_stats": q_distinct_stats,
     "seq_length_filter": q_seq_length_filter,
+    "direction_filter": q_direction_filter,
     "topk_per_group": q_topk_per_group,
     "year_filter": q_year_filter,
     "histogram": q_histogram,
@@ -421,6 +466,7 @@ MISC_ORACLE_SQL: dict[str, str] = {
     "nan_audit": SQL_NAN_AUDIT,
     "distinct_stats": SQL_DISTINCT,
     "seq_length_filter": SQL_SEQ_LEN,
+    "direction_filter": SQL_DIRECTION_FILTER,
     "topk_per_group": SQL_TOPK,
     "year_filter": SQL_YEAR_FILTER,
     "histogram": SQL_HISTOGRAM,
