@@ -129,6 +129,10 @@ def derive_text_signals(df: DataFrame, text: str = "text") -> DataFrame:
     column expressions; the text column itself passes through untouched
     (byte-identity invariant)."""
     t = F.col(text)
+    # split+size (array alloc) is the FAST path, measured: counting via
+    # regexp_replace(\s+ -> ' ') + length arithmetic looked cheaper but
+    # benched 3x SLOWER at local[8]/8M pages (regex replace builds a new
+    # string; split only scans). Keep split.
     n_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     return (

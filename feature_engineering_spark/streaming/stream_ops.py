@@ -108,3 +108,47 @@ def streaming_window_stats(
         )
         .select(key, "w.start", "w.end", "w_mean", "w_std", "w_min", "w_max", "n")
     )
+
+
+def streaming_asof_enrich(
+    stream: DataFrame,
+    static_right: DataFrame,
+    on: str = "url",
+    left_ts: str = "warc_ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    right_tiebreak: str | None = None,
+):
+    """Streaming face of the engine's core operator: strictly-causal
+    backward as-of enrichment of a stream against a static (slowly-updated)
+    reference table.
+
+    Spark has no native stream-static ASOF join, so the idiomatic lift is
+    per-micro-batch: ``foreachBatch`` hands each micro-batch to the SAME
+    batch ``asof_join`` (union+window strategy, one shuffle of
+    |batch|+|right|), preserving the batch operator's exact semantics —
+    including tolerance and tiebreak — instead of re-implementing them.
+    Returns a function for ``writeStream.foreachBatch`` that enriches and
+    forwards each batch to ``sink_fn(enriched_df, batch_id)``.
+
+    Scale: the static side is re-read per micro-batch (cheap for dims;
+    snapshot-pinned for Iceberg). Event-time ordering ACROSS micro-batches
+    is the source's concern (a replayable log partitioned by key keeps
+    per-key order); within a batch the as-of is exact.
+    """
+    from feature_engineering_spark.operators.asof import asof_join
+
+    def enrich(batch_df: DataFrame, batch_id: int, sink_fn):
+        out = asof_join(
+            batch_df, static_right, on=on, left_ts=left_ts,
+            right_ts=right_ts, right_cols=right_cols,
+            direction="backward", tolerance_seconds=tolerance_seconds,
+            strategy="union", right_tiebreak=right_tiebreak,
+        )
+        sink_fn(out, batch_id)
+
+    def for_each_batch(sink_fn):
+        return lambda batch_df, batch_id: enrich(batch_df, batch_id, sink_fn)
+
+    return for_each_batch

@@ -112,3 +112,52 @@ def test_structured_streaming_sessionize(spark, pages_df, tmp_path):
     # semantics == lag/cumsum sessionizer for gap-separated streams)
     n_batch = session_bounds(one_url).count()
     assert n_stream == n_batch > 0
+
+
+def test_streaming_asof_enrich(spark, tmp_path):
+    """Stream of clicks enriched per micro-batch with the latest prior
+    label per url — must equal the batch as-of join on the same data."""
+    import pandas as pd
+
+    from feature_engineering_spark.operators.asof import asof_join
+    from feature_engineering_spark.streaming.stream_ops import (
+        streaming_asof_enrich,
+    )
+
+    left = pd.DataFrame({
+        "url": ["a", "a", "b", "b"],
+        "warc_ts": pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 01:00",
+             "2024-01-01 00:30", "2024-01-01 02:00"]),
+        "event_id": [1, 2, 3, 4],
+    })
+    right = pd.DataFrame({
+        "url": ["a", "a", "b"],
+        "label_ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:45", "2024-01-01 01:00"]),
+        "iri": [1.0, 2.0, 3.0],
+    })
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    src = str(tmp_path / "stream_src")
+    ldf.repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ldf.schema).parquet(src)
+    collected = []
+    feb = streaming_asof_enrich(
+        stream, rdf, on="url", left_ts="warc_ts", right_ts="label_ts",
+        right_cols=["iri"],
+    )(lambda df, bid: collected.append(df.toPandas()))
+    q = stream.writeStream.foreachBatch(feb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = (
+        pd.concat(collected)
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "iri"]]
+    )
+    exp = (
+        asof_join(ldf, rdf, on="url", left_ts="warc_ts", right_ts="label_ts",
+                  right_cols=["iri"]).toPandas()
+        .sort_values("event_id").reset_index(drop=True)[["event_id", "iri"]]
+    )
+    pd.testing.assert_frame_equal(got, exp)
