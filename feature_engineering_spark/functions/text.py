@@ -157,3 +157,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(m >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical cleaning pass (the per-page normalize step of a corpus
+    pipeline): lowercase, strip [.,!?;:] punctuation, collapse whitespace
+    runs, trim. Deterministic and cross-engine exact (same regexes in the
+    DuckDB twin), so normalized text stays byte-comparable."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[.,!?;:]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

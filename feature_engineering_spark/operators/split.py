@@ -102,3 +102,22 @@ def drop_duplicate_columns(df: DataFrame) -> DataFrame:
     if not drops:
         return df
     return df.toDF(*names).drop(*drops)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Content-addressed Bernoulli sample: keep a row iff
+    md5(salt:key) mod 10^6 < rate*10^6. Unlike df.sample(), membership is
+    a pure function of the key — stable across runs, partitionings, and
+    engines (exact DuckDB twin), so a 1% corpus sample is reproducible
+    and JOINABLE with itself downstream. Per-stratum rates compose by
+    calling this per partition-of-interest with different rates."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key))), 1, 15),
+               16, 10).cast("long") % F.lit(1_000_000)
+    )
+    return df.where(bucket < int(rate * 1_000_000))

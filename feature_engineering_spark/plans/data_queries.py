@@ -485,6 +485,85 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# ------------------------------------------------------------ corpus hygiene
+def q_clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text-normalization pass, fingerprinted so the oracle
+    verifies BYTE-identical normalized output (the input_hint's
+    byte-identity invariant applied to the cleaning stage)."""
+    d = _docs(spark, sf_dir)
+    norm = TX.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+SQL_CLEAN_TEXT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS norm_md5,
+       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                                    '\\s+', ' ', 'g'))) AS INT) AS norm_len
+FROM documents
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: token -> corpus frequency over normalized text,
+    top 500 by (count desc, token). One explode + one map-side-combined
+    groupBy + TakeOrdered — the word-count shape that stays one shuffle at
+    any corpus size."""
+    d = _docs(spark, sf_dir)
+    tok = F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("token")
+    return (
+        d.select(tok)
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(500)
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH norm AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT unnest(string_split(t, ' ')) AS token FROM norm
+)
+SELECT token, COUNT(*) AS n FROM tok WHERE token != ''
+GROUP BY token ORDER BY n DESC, token LIMIT 500
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed stratified downsampling (the common-language
+    rebalance step of a training-data pipeline): en docs kept at 10%,
+    everything else at 50% — membership a pure function of doc_id, so the
+    sample is reproducible across runs/engines and the oracle is exact."""
+    from feature_engineering_spark.operators.split import deterministic_sample
+
+    d = _docs(spark, sf_dir)
+    en = deterministic_sample(d.where(F.col("lang") == "en"), 0.10, key="doc_id")
+    rest = deterministic_sample(d.where(F.col("lang") != "en"), 0.50, key="doc_id")
+    return en.unionByName(rest).select("doc_id", "lang", "n_chars")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(concat('0x', substr(md5(concat('s0', ':', doc_id)), 1, 15)) AS BIGINT)
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM b
+WHERE (lang = 'en' AND bucket < 100000) OR (lang != 'en' AND bucket < 500000)
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end check of the multimodal path: deterministic FMM1
@@ -568,6 +647,9 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
+    "clean_text_normalize": q_clean_text_normalize,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -583,4 +665,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_ivf": SQL_ANN_IVF,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "media_features": SQL_MEDIA_FEATURES,
+    "clean_text_normalize": SQL_CLEAN_TEXT,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
