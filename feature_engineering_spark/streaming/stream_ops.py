@@ -152,3 +152,22 @@ def streaming_asof_enrich(
         return lambda batch_df, batch_id: enrich(batch_df, batch_id, sink_fn)
 
     return for_each_batch
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text: str = "text",
+    ts: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming face of dedup_exact: content-hash dedup over a live feed
+    via ``dropDuplicatesWithinWatermark`` — state holds one md5 per
+    distinct text and is EVICTED once the watermark passes it. Unbounded
+    dropDuplicates state is the classic 10^12-doc streaming failure mode;
+    the watermark bounds state to the horizon, and the batch dedup_exact
+    owns anything older (backfill batch + live tail split)."""
+    return (
+        stream.withColumn("text_md5", F.md5(F.col(text)))
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )

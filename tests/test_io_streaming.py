@@ -161,3 +161,31 @@ def test_streaming_asof_enrich(spark, tmp_path):
         .sort_values("event_id").reset_index(drop=True)[["event_id", "iri"]]
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import pandas as pd
+
+    from feature_engineering_spark.streaming.stream_ops import (
+        streaming_exact_dedup,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["aa", "bb", "aa", "cc", "bb"],
+        "warc_ts": pd.to_datetime(["2024-01-01 00:00"] * 5)
+        + pd.to_timedelta(range(5), unit="m"),
+    })
+    df = spark.createDataFrame(pdf)
+    src = str(tmp_path / "dedup_src")
+    df.repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_exact_dedup(stream, text="text", ts="warc_ts")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_sink").toPandas()
+    assert sorted(got["text"]) == ["aa", "bb", "cc"]
