@@ -564,6 +564,52 @@ WHERE (lang = 'en' AND bucket < 100000) OR (lang != 'en' AND bucket < 500000)
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over normalized tokens: tf = in-doc count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed). Two map-side-combined aggregations
+    plus one broadcast-sized join on the term dictionary — no all-pairs,
+    no Python. Emits terms with tfidf >= 2, rounded."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    return scored.where(F.col("tfidf") >= 2.0)
+
+
+SQL_TFIDF = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term != ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok2)
+  GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term,
+       ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq USING (term), n
+WHERE ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0), 6) >= 2.0
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end check of the multimodal path: deterministic FMM1
@@ -650,6 +696,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text_normalize": q_clean_text_normalize,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -668,4 +715,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "clean_text_normalize": SQL_CLEAN_TEXT,
     "vocab_topk": SQL_VOCAB_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "tfidf_terms": SQL_TFIDF,
 }

@@ -322,6 +322,31 @@ FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 10
 """
 
 
+# ---------------------------------------------------------------- scaler
+def q_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key standardization (z-score within user) — the feature-matrix
+    scaler of the selection stage (reference fits sklearn scalers per
+    split, analysis.py) expressed as window aggregates: one hash shuffle,
+    no Python, no collect."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    m = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - m) / sd).otherwise(F.lit(0.0))
+    return ev.select("event_id", "user_id", F.round(z, 6).alias("z"))
+
+
+SQL_ZSCORE = """
+SELECT event_id, user_id,
+       ROUND(CASE WHEN STDDEV_POP(value) OVER w > 0
+             THEN (value - AVG(value) OVER w) / (STDDEV_POP(value) OVER w)
+             ELSE 0.0 END, 6) AS z
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 # ---------------------------------------------------------------- P8
 def q_direction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Direction filter on built sequences (reference keeps segments whose
@@ -449,6 +474,7 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_stats": q_distinct_stats,
     "seq_length_filter": q_seq_length_filter,
     "direction_filter": q_direction_filter,
+    "zscore_per_user": q_zscore_per_user,
     "topk_per_group": q_topk_per_group,
     "year_filter": q_year_filter,
     "histogram": q_histogram,
@@ -467,6 +493,7 @@ MISC_ORACLE_SQL: dict[str, str] = {
     "distinct_stats": SQL_DISTINCT,
     "seq_length_filter": SQL_SEQ_LEN,
     "direction_filter": SQL_DIRECTION_FILTER,
+    "zscore_per_user": SQL_ZSCORE,
     "topk_per_group": SQL_TOPK,
     "year_filter": SQL_YEAR_FILTER,
     "histogram": SQL_HISTOGRAM,
