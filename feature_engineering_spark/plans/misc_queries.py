@@ -322,6 +322,49 @@ FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 10
 """
 
 
+# ---------------------------------------------------------------- range join
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join at scale: clicks joined to 2-hour windows after
+    each purchase via bucketed equi-join (operators/rangejoin — never a
+    BroadcastNestedLoopJoin), then per-interval aggregates."""
+    from feature_engineering_spark.functions.timeutil import epoch_seconds
+    from feature_engineering_spark.operators.rangejoin import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        epoch_seconds("ts").alias("lo"),
+        (epoch_seconds("ts") + F.lit(7200.0)).alias("hi"),
+    )
+    j = bucketed_range_join(
+        clicks, iv, on="user_id", fact_ts="ts", lo="lo", hi="hi",
+        bucket_width=3600.0,
+    )
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT user_id, event_id AS interval_id,
+         epoch(ts) AS lo, epoch(ts) + 7200.0 AS hi
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT iv.interval_id, COUNT(*) AS n_clicks, ROUND(SUM(c.value), 6) AS sum_value
+FROM iv JOIN c ON iv.user_id = c.user_id
+  AND epoch(c.ts) >= iv.lo AND epoch(c.ts) <= iv.hi
+GROUP BY iv.interval_id
+"""
+
+
 # ---------------------------------------------------------------- scaler
 def q_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key standardization (z-score within user) — the feature-matrix
@@ -475,6 +518,7 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_length_filter": q_seq_length_filter,
     "direction_filter": q_direction_filter,
     "zscore_per_user": q_zscore_per_user,
+    "range_join_count": q_range_join_count,
     "topk_per_group": q_topk_per_group,
     "year_filter": q_year_filter,
     "histogram": q_histogram,
@@ -494,6 +538,7 @@ MISC_ORACLE_SQL: dict[str, str] = {
     "seq_length_filter": SQL_SEQ_LEN,
     "direction_filter": SQL_DIRECTION_FILTER,
     "zscore_per_user": SQL_ZSCORE,
+    "range_join_count": SQL_RANGE_JOIN,
     "topk_per_group": SQL_TOPK,
     "year_filter": SQL_YEAR_FILTER,
     "histogram": SQL_HISTOGRAM,

@@ -144,3 +144,48 @@ def test_asof_strictly_causal_leakage_probe(spark, pages_pdf, labels_pdf):
         ["url", "warc_ts"]).reset_index(drop=True)
     assert len(pa) > 100
     assert pa["iri"].equals(pb["iri"])  # bit-identical, not allclose
+
+
+def test_bucketed_range_join_equals_theta_join(spark):
+    """Bucketed equi-join + verify gives exactly the theta-join result,
+    and the physical plan contains NO BroadcastNestedLoopJoin."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from feature_engineering_spark.operators.rangejoin import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a"] * 5 + ["b"] * 3,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([0, 30, 90, 150, 600, 10, 70, 200], unit="m"),
+            "v": list(range(8)),
+        })
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a", "a", "b"],
+            "iid": [1, 2, 3],
+            "lo": [pd.Timestamp("2024-01-01 00:00").timestamp(),
+                   pd.Timestamp("2024-01-01 01:00").timestamp(),
+                   pd.Timestamp("2024-01-01 00:30").timestamp()],
+            "hi": [pd.Timestamp("2024-01-01 01:00").timestamp(),
+                   pd.Timestamp("2024-01-01 04:00").timestamp(),
+                   pd.Timestamp("2024-01-01 03:00").timestamp()],
+        })
+    )
+    got = bucketed_range_join(
+        facts, iv, on="k", fact_ts="ts", lo="lo", hi="hi", bucket_width=1800.0
+    )
+    assert "BroadcastNestedLoop" not in got._jdf.queryExecution().executedPlan().toString()
+    gp = got.select("k", "iid", "v").toPandas().sort_values(["iid", "v"])
+
+    from feature_engineering_spark.functions.timeutil import epoch_seconds
+    t = epoch_seconds("ts")
+    exp = (
+        facts.join(iv.withColumnRenamed("k", "k2"),
+                   (F.col("k") == F.col("k2")) & (t >= F.col("lo")) & (t <= F.col("hi")))
+        .select("k", "iid", "v").toPandas().sort_values(["iid", "v"])
+    )
+    pd.testing.assert_frame_equal(gp.reset_index(drop=True), exp.reset_index(drop=True))
