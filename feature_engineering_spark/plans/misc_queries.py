@@ -187,6 +187,48 @@ FROM parts
 """
 
 
+# ---------------------------------------------------------------- domains
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain rollup over canonicalized URLs — the web
+    pipeline's 'group by site' primitive (hot domains are exactly the
+    skew the salted window path splits). URLs constructed like
+    url_canonicalize's fixture; host extracted post-canonicalization."""
+    from feature_engineering_spark.functions.geo import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":8080")),
+        F.lit("/Path/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_url(url)
+    host = F.regexp_extract(canon, r"^[a-z]+://([^/:]+)", 1)
+    return (
+        d.select(host.alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+SQL_DOMAIN_STATS = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'example' || (doc_id % 7)::VARCHAR || '.com' AS domain
+  FROM documents
+)
+SELECT domain, COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM u GROUP BY domain
+"""
+
+
 # ---------------------------------------------------------------- W7
 def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resample with causal ffill (as-of composition)."""
@@ -519,6 +561,7 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "direction_filter": q_direction_filter,
     "zscore_per_user": q_zscore_per_user,
     "range_join_count": q_range_join_count,
+    "domain_stats": q_domain_stats,
     "topk_per_group": q_topk_per_group,
     "year_filter": q_year_filter,
     "histogram": q_histogram,
@@ -539,6 +582,7 @@ MISC_ORACLE_SQL: dict[str, str] = {
     "direction_filter": SQL_DIRECTION_FILTER,
     "zscore_per_user": SQL_ZSCORE,
     "range_join_count": SQL_RANGE_JOIN,
+    "domain_stats": SQL_DOMAIN_STATS,
     "topk_per_group": SQL_TOPK,
     "year_filter": SQL_YEAR_FILTER,
     "histogram": SQL_HISTOGRAM,
