@@ -110,9 +110,17 @@ def minhash_signatures(
     transform+array_min array traversals). Docs with no shingles get no
     signature row (they cannot near-dup by shingles)."""
     sh = word_shingles(F.col(text), shingle_n)
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
-    )
+    g = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    return _signatures_from_shingles(g, num_hashes, seed)
+
+
+def _signatures_from_shingles(
+    g: DataFrame, num_hashes: int, seed: int = 7
+) -> DataFrame:
+    """Signatures from a pre-shingled (id, sh: array<string>) frame — lets
+    minhash_lsh_dedup tokenize the corpus ONCE and reuse the shingle arrays
+    for both the signature pass and the exact-Jaccard verify join."""
+    exploded = g.select("id", F.explode("sh").alias("shingle"))
     x = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % F.lit(_MH_P)
@@ -123,6 +131,64 @@ def minhash_signatures(
         for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
     ]
     return proj.groupBy("id").agg(*mins)
+
+
+def _band_signature(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) from a minhash signature frame. ONE pass: stack()
+    unpivots the band keys from a single signature computation (a per-band
+    union would recompute the minhash aggregates once per branch — measured
+    8x slower), and downstream self-joins shuffle both sides identically so
+    AQE reuses the exchange. Band key = md5-derived 60-bit hash of the
+    comma-joined band values (cross-engine twin in DuckDB SQL, unlike
+    Spark's hash())."""
+    band_exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        key = (
+            f"cast(conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        band_exprs.append(f"{b}, {key}")
+    return sig.selectExpr(
+        "id", f"stack({bands}, {', '.join(band_exprs)}) as (band, bucket)"
+    )
+
+
+def lsh_dropped_bucket_stats(
+    banded: DataFrame, max_bucket_size: int, bucket_cols: tuple[str, ...] = ("band", "bucket")
+) -> DataFrame:
+    """No-silent-caps companion for every LSH bucket cap in this module:
+    one row — (n_dropped_buckets, n_dropped_rows, max_bucket_size_seen) —
+    describing what a ``max_bucket_size`` guard discards from ``banded``
+    (any (id, *bucket_cols) frame). Jobs emit this next to their pair
+    counts so a cap that silently ate genuine near-dups (e.g. a shared-
+    boilerplate band) is visible in the ledger rather than inferred.
+    Cost: one map-side-combined groupBy over the banded rows."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bc"))
+    return sizes.agg(
+        F.sum((F.col("__bc") > max_bucket_size).cast("long")).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(
+            F.when(F.col("__bc") > max_bucket_size, F.col("__bc")).otherwise(0)
+        ).alias("n_dropped_rows"),
+        F.max("__bc").alias("max_bucket_size_seen"),
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) rows for the MinHash LSH — exposed so jobs can
+    compute lsh_dropped_bucket_stats on exactly the banding the dedup
+    uses."""
+    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_n)
+    return _band_signature(sig, bands, num_hashes // bands)
 
 
 def minhash_lsh_candidates(
@@ -143,25 +209,10 @@ def minhash_lsh_candidates(
     dropped entirely — their members are (near-)identical clusters that
     the EXACT dedup pass upstream is responsible for (jobs/dedup_corpus.py
     runs exact dedup first; this cap makes that contract explicit instead
-    of an unguarded assumption). The bucket count reuses the join's own
-    (band, bucket) hash partitioning — no extra shuffle."""
-    # ONE pass: stack() unpivots the band keys from a single signature
-    # computation (a per-band union would recompute the minhash
-    # aggregates once per branch — measured 8x slower), and the self-join
-    # shuffles both sides identically so AQE reuses the exchange.
-    # Band key = md5-derived 60-bit hash of the comma-joined band values
-    # (cross-engine twin in DuckDB SQL, unlike Spark's hash()).
-    band_exprs = []
-    for b in range(bands):
-        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-        key = (
-            f"cast(conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10)"
-            " as bigint)"
-        )
-        band_exprs.append(f"{b}, {key}")
-    banded = sig.selectExpr(
-        "id", f"stack({bands}, {', '.join(band_exprs)}) as (band, bucket)"
-    )
+    of an unguarded assumption, and the job EMITS the drop counts via
+    lsh_dropped_bucket_stats — no silent caps). The bucket count reuses
+    the join's own (band, bucket) hash partitioning — no extra shuffle."""
+    banded = _band_signature(sig, bands, rows_per_band)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         banded = (
@@ -193,13 +244,21 @@ def minhash_lsh_dedup(
     max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
-    Jaccard verify >= threshold. Returns verified (a, b, jaccard)."""
+    Jaccard verify >= threshold. Returns verified (a, b, jaccard).
+
+    The corpus is tokenized/shingled ONCE: the (id, shingles) frame is
+    persisted (memory, spill-to-disk) and reused by the signature pass and
+    by BOTH sides of the verify join — previously each of those three
+    lineages re-scanned and re-shingled the corpus (measured ~1.5s of the
+    5.0s sf0.1 runtime). At cluster scale the persist is per-executor
+    storage-memory with disk spill; the alternative (recompute) costs two
+    extra full scans + md5 passes, which dominates for web-scale text."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_n)
-    cand = minhash_lsh_candidates(sig, bands, rows_per_band, max_bucket_size)
     g = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
-    )
+    ).persist()
+    sig = _signatures_from_shingles(g, num_hashes)
+    cand = minhash_lsh_candidates(sig, bands, rows_per_band, max_bucket_size)
     j = (
         cand.join(g.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(g.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
@@ -315,11 +374,17 @@ def srp_signature_buckets(
     """(id, band, bucket) rows: bit j of the signature = [dot(v, h_j) > 0];
     ``bands`` groups of nbits/bands consecutive bits form the bucket keys.
 
-    The dot products are LITERAL left-associated add chains (not a
-    fold/aggregate): the identical chain is emitted in the DuckDB oracle, so
-    the two engines execute the same IEEE operation sequence and the sign
-    bits match exactly. All scan-side JVM projection — no Python, no shuffle
-    until the band-bucket join."""
+    The dot products are left-associated sequential folds
+    (aggregate(zip_with(v, h, *), 0.0, +)) — the SAME IEEE operation
+    sequence as the literal add chain emitted in the DuckDB oracle, so the
+    sign bits match exactly. A literal chain was the first implementation;
+    at nbits x dim = 1024 terms it blew Janino's 64 KB per-method limit and
+    silently de-optimized the whole stage to interpreted eval (two
+    `Code grows beyond 64 KB` errors per contract run). The fold keeps the
+    per-bit expression O(1) in codegen size (the lambda body is tiny; only
+    the fold itself is interpreted) while the rest of the stage stays
+    whole-stage-compiled. All scan-side JVM projection — no Python, no
+    shuffle until the band-bucket join."""
     v = F.col(emb).cast("array<double>")
     nbits = len(planes)
     if nbits % bands:
@@ -327,9 +392,12 @@ def srp_signature_buckets(
     rows_per_band = nbits // bands
     bit_exprs = []
     for h in planes:
-        dot = F.lit(0.0)
-        for k, w in enumerate(h):
-            dot = dot + F.element_at(v, k + 1) * F.lit(w)
+        plane = F.array(*[F.lit(w) for w in h])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit_exprs.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
     buckets = []
     for b in range(bands):

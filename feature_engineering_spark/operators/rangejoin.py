@@ -39,10 +39,22 @@ def bucketed_range_join(
 ) -> DataFrame:
     """Join fact rows to every interval (same ``on`` key) containing their
     timestamp: epoch(fact_ts) in [lo, hi], bounds inclusive, ``lo``/``hi``
-    epoch seconds. Returns facts columns + the interval's columns."""
+    epoch seconds. Returns facts columns + the interval's columns.
+
+    Only ``how='inner'`` is supported: the exact BETWEEN verify is a
+    post-join filter, which would silently turn any outer join back into
+    inner semantics by discarding its null-padded rows — so other values
+    raise instead of lying. Inverted intervals (hi < lo) are dropped on the
+    interval side up front (they contain nothing; left unguarded they would
+    make F.sequence count DOWNWARD and explode spurious buckets)."""
+    if how != "inner":
+        raise ValueError(
+            "bucketed_range_join supports how='inner' only (the exact-range "
+            f"verify filter would break outer semantics); got {how!r}"
+        )
     t = epoch_seconds(fact_ts)
     b_facts = facts.withColumn("__b", F.floor(t / F.lit(bucket_width)).cast("long"))
-    b_iv = intervals.withColumn(
+    b_iv = intervals.where(F.col(hi) >= F.col(lo)).withColumn(
         "__b",
         F.explode(
             F.sequence(

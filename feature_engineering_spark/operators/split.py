@@ -83,25 +83,56 @@ def composite_target(
     return out
 
 
-def drop_duplicate_columns(df: DataFrame) -> DataFrame:
+def drop_duplicate_columns(df: DataFrame, verify_values: bool = False) -> DataFrame:
     """P11 (reference data_loaders.py:26-31: duplicated columns from a DB
     error are dropped keeping the first occurrence). Spark can't address
     duplicate names directly, so rename positionally via toDF, then drop
-    the renamed extras. No-op (same plan) when names are already unique."""
+    the renamed extras. No-op (same plan) when names are already unique.
+
+    Semantics note (deliberate deviation from the reference): the reference
+    dedups by column VALUES (DRD_data.T.drop_duplicates().T), this operator
+    dedups by NAME — the failure mode it targets is the same-name duplicate
+    a join/DB error produces, and a value-based transpose is not expressible
+    at 10^12 rows. Two consequences, both intentional: differently-named
+    columns with identical content are KEPT, and same-named columns are
+    assumed to carry identical content. ``verify_values=True`` checks that
+    second assumption (one aggregate pass computing an order-insensitive
+    value hash per duplicate pair) and raises instead of silently dropping
+    a same-named column whose content differs."""
     seen: set[str] = set()
     names: list[str] = []
     drops: list[str] = []
+    dup_of: list[tuple[str, str]] = []  # (kept name, dropped alias)
     for i, c in enumerate(df.columns):
         if c in seen:
             alias = f"__dup{i}__{c}"
             names.append(alias)
             drops.append(alias)
+            dup_of.append((c, alias))
         else:
             seen.add(c)
             names.append(c)
     if not drops:
         return df
-    return df.toDF(*names).drop(*drops)
+    renamed = df.toDF(*names)
+    if verify_values:
+        def col_hash(c: str):
+            return F.sum(
+                F.xxhash64(F.col(f"`{c}`").cast("string")).cast("decimal(38,0)")
+            )
+
+        checks = renamed.agg(
+            *[col_hash(k).alias(f"k{i}") for i, (k, _) in enumerate(dup_of)],
+            *[col_hash(d).alias(f"d{i}") for i, (_, d) in enumerate(dup_of)],
+        ).collect()[0]
+        for i, (k, d) in enumerate(dup_of):
+            if checks[f"k{i}"] != checks[f"d{i}"]:
+                raise ValueError(
+                    f"duplicate-named column {k!r} has DIFFERENT content than "
+                    "the first occurrence — refusing to drop it "
+                    "(verify_values=True)"
+                )
+    return renamed.drop(*drops)
 
 
 def deterministic_sample(

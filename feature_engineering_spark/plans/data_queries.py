@@ -567,8 +567,15 @@ WHERE (lang = 'en' AND bucket < 100000) OR (lang != 'en' AND bucket < 500000)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over normalized tokens: tf = in-doc count, idf =
     ln((N+1)/(df+1)) + 1 (smoothed). Two map-side-combined aggregations
-    plus one broadcast-sized join on the term dictionary — no all-pairs,
-    no Python. Emits terms with tfidf >= 2, rounded."""
+    plus one shuffled join on `term` — no all-pairs, no Python. Emits terms
+    with tfidf >= 2, rounded.
+
+    Scale notes: the df-side is deliberately NOT broadcast — an
+    open-vocabulary web corpus has billions of distinct terms, so the term
+    dictionary is itself a big table; a plain shuffled hash join on `term`
+    co-partitions tf and df and AQE will still broadcast it at runtime if
+    the dictionary turns out tiny. N (doc count) joins in lazily as a
+    single-row broadcast cross join instead of a separate driver action."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id",
@@ -578,9 +585,9 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    n_docs = d.count()
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
-    scored = tf.join(F.broadcast(df_), "term").select(
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + F.lit(1.0)
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(nd)).select(
         "doc_id", "term",
         F.round(F.col("tf") * idf, 6).alias("tfidf"),
     )

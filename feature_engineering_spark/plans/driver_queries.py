@@ -520,17 +520,79 @@ GROUP BY user_id, win_idx HAVING COUNT(*) >= {_WMIN}
 
 def q_window_features_35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 35-feature matrix per (user_id, window) — the reference's
-    feature_extraction stage (analysis.py:153-219). Not SQL-expressible
-    (driver records rows-only); numerics pinned by tests/test_features.py
-    hand vectors + tests/oracle.py parity."""
+    feature_extraction stage (analysis.py:153-219) at the original window
+    geometry (4-day windows, 1-day step, min 5 points).
+
+    Fully oracle-checked since round 3. The trick that makes the
+    full-fidelity signal hashable cross-engine: events.value is exactly
+    2-decimal, so ROUND(value*100) is a LOSSLESS integerization — the
+    kernel runs on the integer 'centivalue' signal (every linear statistic
+    becomes an exact double, bit-identical in Spark and DuckDB) and the
+    emission descales each statistic back to original value units by its
+    homogeneity degree (var by 100^2, mean by 100, skew by 100^0, ...).
+    Emission discipline (see _wf_sql for the measured rationale): all
+    statistics RAW; variance/std re-derived from the exact integer identity
+    (n*abs_energy - S^2)/n^2 so they carry no summation-order term at all;
+    only f_signal_dist (irrational values, not scale-homogeneous — stays in
+    centivalue units) pre-rounds at 4 decimals."""
     from feature_engineering_spark.operators.windows import sliding_window_features
 
-    ev = _t(spark, sf_dir, "events")
-    return sliding_window_features(
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("double").alias("value"),
+    )
+    w = sliding_window_features(
         ev, key="user_id", ts="ts", signals=("value",),
         window_size=_WSIZE, step=_WSTEP, min_points=_WMIN,
         order_tiebreak="event_id",
     )
+
+    n = F.col("n_points").cast("double")
+    energy = F.col("`value-0_Absolute energy`")
+    # exact recovery of the integer window sum from the kernel's mean:
+    # |round(mean*n) - S| < n*ulp(S) << 0.5, so F.round lands exactly on S
+    s_exact = F.round(F.col("`value-0_Mean`") * n, 0)
+    var_scaled = (n * energy - s_exact * s_exact) / (n * n)
+
+    def emit(name: str, alias: str, _rnd: bool):
+        raw = F.col(f"`value-0_{name}`")
+        if alias == "f_var":
+            out = var_scaled / F.lit(1e4)
+        elif alias == "f_std":
+            out = F.sqrt(var_scaled) / F.lit(1e2)
+        elif alias == "f_signal_dist":
+            out = F.round(raw, 4)
+        else:
+            k = _F35_SCALE_POW[alias]
+            out = raw / F.lit(float(100 ** k)) if k else raw
+        return F.when(F.isnan(raw), F.lit(None)).otherwise(out).alias(alias)
+
+    return w.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("win_start"),
+        F.col("n_points"),
+        *[emit(name, alias, rnd) for name, alias, rnd in _F35_ALIASES],
+    )
+
+
+# Homogeneity degree of each statistic in the signal unit: descaling a
+# stat of the x100 centivalue signal back to value units divides by 100^k.
+# k=0 entries are unitless (skew, kurt, entropy, centroid, counts) or
+# deliberately left in centivalue units (f_signal_dist: sqrt(1+d^2) is not
+# scale-homogeneous).
+_F35_SCALE_POW = {
+    "f_mean": 1, "f_median": 1, "f_max": 1, "f_min": 1, "f_maxmin": 1,
+    "f_std": 1, "f_var": 2, "f_rms": 1, "f_mad": 1, "f_medad": 1,
+    "f_iqr": 1, "f_skew": 0, "f_kurt": 0,
+    "f_ecdf05": 1, "f_ecdf10": 1, "f_ecdf20": 1, "f_ecdf80": 1,
+    "f_abs_energy": 2, "f_total_energy": 2, "f_auc": 1, "f_autocorr": 2,
+    "f_centroid": 0, "f_entropy": 0,
+    "f_mean_diff": 1, "f_median_diff": 1, "f_mean_abs_diff": 1,
+    "f_median_abs_diff": 1, "f_sum_abs_diff": 1,
+    "f_signal_dist": 0, "f_slope": 1,
+    "f_zcr": 0, "f_pos_turn": 0, "f_neg_turn": 0, "f_npeaks": 0,
+    "f_pkpk": 1,
+}
 
 
 # ---------------------------------------------------------------- §2.6 full
@@ -614,16 +676,58 @@ def q_window_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WINDOW_FEATURES = f"""
+def _wf_sql(size: float, step: float, mn: int, signal_sql: str, s: int = 1) -> str:
+    """DuckDB re-derivation of all 35 window statistics, templated over the
+    window geometry, the signal expression, and the signal scale ``s``.
+
+    s=1 keeps the round-2 emission verbatim (ROUND(6) on noisy stats).
+    s!=1 (the lossless x100 integerized signal of window_features_35) uses
+    the round-3 emission discipline derived from measured cross-engine
+    boundary behavior:
+    - quantized-rational statistics (means, medians, diffs, AUC, slope,
+      MAD) are emitted RAW, descaled by homogeneity degree — in-query
+      ROUND is what breaks them (their exact decimal values land on
+      .xxx5 rounding boundaries where Spark's BigDecimal-exact and
+      DuckDB's multiply-first ROUND legitimately disagree), while the
+      driver's own pandas round(6) is applied by ONE library to both
+      frames and their summation-order deltas (~1e-11 descaled) sit far
+      from any 6-decimal midpoint;
+    - variance/std are re-derived from the exact integer identity
+      (n*sum(v^2) - S^2) / n^2 — bit-identical in both engines, no
+      summation-order term at all;
+    - the only pre-ROUND survivor is signal_dist (irrational values,
+      never exactly on a boundary, but raw deltas ~1e-9 would straddle
+      pandas' 6-decimal grid too often)."""
+    d1 = f" / {float(s)}" if s != 1 else ""
+    d2 = f" / {float(s) ** 2}" if s != 1 else ""
+    if s == 1:
+        f_std = "ROUND(SQRT(d.m2), 6)"
+        f_var = "ROUND(d.m2, 6)"
+        f_mad = "ROUND(d.mean_ad, 6)"
+        f_auc = "ROUND(b.auc, 6)"
+        f_slope = "ROUND(d.sxy / (b.n * (b.n * b.n - 1) / 12.0), 6)"
+        r0, r1, sdrd = "ROUND(", ", 6)", 6
+    else:
+        # exact integer identity: bit-identical cross-engine, no
+        # summation-order term (v are exact integers, all products and the
+        # numerator stay < 2^53)
+        vexact = "(b.n * b.abs_energy - b.sv * b.sv) / (b.n * b.n)"
+        f_std = f"SQRT({vexact}){d1}"
+        f_var = f"{vexact}{d2}"
+        f_mad = f"d.mean_ad{d1}"  # raw: quantized-rational, pre-ROUND unsafe
+        f_auc = f"b.auc{d1}"  # raw: exact multiples of 0.005/s, grid-aligned
+        f_slope = f"d.sxy / (b.n * (b.n * b.n - 1) / 12.0){d1}"  # raw
+        r0, r1, sdrd = "", "", 4  # skew/kurt/centroid/entropy raw
+    return f"""
 WITH bounds AS (
   SELECT user_id, MIN(epoch(ts)) AS t0 FROM events GROUP BY user_id
 ), expanded AS (
   SELECT e.user_id, e.ts, e.event_id,
-         CAST(FLOOR(e.value) - 40 AS DOUBLE) AS value,
+         {signal_sql} AS value,
          unnest(generate_series(
-           GREATEST(CAST(CEIL((epoch(e.ts) - {_W2SIZE}) / {_W2STEP}) AS BIGINT),
-                    CAST(FLOOR(b.t0 / {_W2STEP}) AS BIGINT)),
-           CAST(FLOOR(epoch(e.ts) / {_W2STEP}) AS BIGINT)
+           GREATEST(CAST(CEIL((epoch(e.ts) - {size}) / {step}) AS BIGINT),
+                    CAST(FLOOR(b.t0 / {step}) AS BIGINT)),
+           CAST(FLOOR(epoch(e.ts) / {step}) AS BIGINT)
          )) AS win_idx
   FROM events e JOIN bounds b USING (user_id)
 ), ranked AS (
@@ -653,6 +757,7 @@ WITH bounds AS (
   SELECT user_id, win_idx,
     COUNT(*) AS n,
     AVG(value) AS m,
+    SUM(value) AS sv,
     MIN(value) AS mn, MAX(value) AS mx,
     SUM(value * value) AS abs_energy,
     quantile_cont(value, 0.5) AS med,
@@ -673,7 +778,7 @@ WITH bounds AS (
              THEN 1 ELSE 0 END)::DOUBLE AS neg_turn,
     SUM(is_npeak)::DOUBLE AS npeaks
   FROM pos GROUP BY user_id, win_idx
-  HAVING COUNT(*) >= {_W2MIN}
+  HAVING COUNT(*) >= {mn}
 ), dev AS (  -- second pass: central moments need the window mean/median
   SELECT p.user_id, p.win_idx,
     AVG(ABS(p.value - b.m)) AS mean_ad,
@@ -707,51 +812,59 @@ WITH bounds AS (
   ) GROUP BY user_id, win_idx
 )
 SELECT b.user_id,
-  b.win_idx * {_W2STEP} AS win_start,
+  b.win_idx * {step} AS win_start,
   b.n AS n_points,
-  b.m AS f_mean,
-  b.med AS f_median,
-  b.mx AS f_max,
-  b.mn AS f_min,
-  b.mx - b.mn AS f_maxmin,
-  ROUND(SQRT(d.m2), 6) AS f_std,
-  ROUND(d.m2, 6) AS f_var,
-  SQRT(b.abs_energy / b.n) AS f_rms,
-  ROUND(d.mean_ad, 6) AS f_mad,
-  d.med_ad AS f_medad,
-  b.iqr AS f_iqr,
-  ROUND(CASE WHEN d.m2 = 0 THEN 0.0 ELSE d.m3 / POW(d.m2, 1.5) END, 6) AS f_skew,
-  ROUND(CASE WHEN d.m2 = 0 THEN -3.0 ELSE d.m4 / (d.m2 * d.m2) - 3.0 END, 6) AS f_kurt,
-  CASE WHEN b.n > 20 THEN ec.e005 END AS f_ecdf05,
-  CASE WHEN b.n > 20 THEN ec.e010 END AS f_ecdf10,
-  CASE WHEN b.n > 20 THEN ec.e020 END AS f_ecdf20,
-  CASE WHEN b.n > 20 THEN ec.e080 END AS f_ecdf80,
-  b.abs_energy AS f_abs_energy,
-  CASE WHEN b.n >= 2 THEN b.abs_energy / ((b.n - 1) / 100.0) END
+  b.m{d1} AS f_mean,
+  b.med{d1} AS f_median,
+  b.mx{d1} AS f_max,
+  b.mn{d1} AS f_min,
+  (b.mx - b.mn){d1} AS f_maxmin,
+  {f_std} AS f_std,
+  {f_var} AS f_var,
+  SQRT(b.abs_energy / b.n){d1} AS f_rms,
+  {f_mad} AS f_mad,
+  d.med_ad{d1} AS f_medad,
+  b.iqr{d1} AS f_iqr,
+  {r0}CASE WHEN d.m2 = 0 THEN 0.0 ELSE d.m3 / POW(d.m2, 1.5) END{r1} AS f_skew,
+  {r0}CASE WHEN d.m2 = 0 THEN -3.0 ELSE d.m4 / (d.m2 * d.m2) - 3.0 END{r1} AS f_kurt,
+  CASE WHEN b.n > 20 THEN ec.e005{d1} END AS f_ecdf05,
+  CASE WHEN b.n > 20 THEN ec.e010{d1} END AS f_ecdf10,
+  CASE WHEN b.n > 20 THEN ec.e020{d1} END AS f_ecdf20,
+  CASE WHEN b.n > 20 THEN ec.e080{d1} END AS f_ecdf80,
+  b.abs_energy{d2} AS f_abs_energy,
+  CASE WHEN b.n >= 2 THEN b.abs_energy / ((b.n - 1) / 100.0){d2} END
     AS f_total_energy,
-  ROUND(b.auc, 6) AS f_auc,
-  b.abs_energy AS f_autocorr,
-  ROUND(CASE WHEN b.abs_energy = 0 OR b.te = 0 THEN 0.0
-             ELSE b.te / b.abs_energy END, 6) AS f_centroid,
-  ROUND(CASE WHEN b.n <= 1 OR e.n_distinct = 1 THEN 0.0
-             ELSE -e.plogp / LOG2(b.n) END, 6) AS f_entropy,
-  b.mean_diff AS f_mean_diff,
-  b.median_diff AS f_median_diff,
-  b.mean_abs_diff AS f_mean_abs_diff,
-  b.median_abs_diff AS f_median_abs_diff,
-  b.sum_abs_diff AS f_sum_abs_diff,
-  ROUND(b.signal_dist, 6) AS f_signal_dist,
-  ROUND(d.sxy / (b.n * (b.n * b.n - 1) / 12.0), 6) AS f_slope,
+  {f_auc} AS f_auc,
+  b.abs_energy{d2} AS f_autocorr,
+  {r0}CASE WHEN b.abs_energy = 0 OR b.te = 0 THEN 0.0
+             ELSE b.te / b.abs_energy END{r1} AS f_centroid,
+  {r0}CASE WHEN b.n <= 1 OR e.n_distinct = 1 THEN 0.0
+             ELSE -e.plogp / LOG2(b.n) END{r1} AS f_entropy,
+  b.mean_diff{d1} AS f_mean_diff,
+  b.median_diff{d1} AS f_median_diff,
+  b.mean_abs_diff{d1} AS f_mean_abs_diff,
+  b.median_abs_diff{d1} AS f_median_abs_diff,
+  b.sum_abs_diff{d1} AS f_sum_abs_diff,
+  ROUND(b.signal_dist, {sdrd}) AS f_signal_dist,
+  {f_slope} AS f_slope,
   b.zcr AS f_zcr,
   b.pos_turn AS f_pos_turn,
   b.neg_turn AS f_neg_turn,
   b.npeaks AS f_npeaks,
-  ABS(b.mx - b.mn) AS f_pkpk
+  ABS(b.mx - b.mn){d1} AS f_pkpk
 FROM base b
 JOIN dev d USING (user_id, win_idx)
 JOIN ent e USING (user_id, win_idx)
 JOIN ec USING (user_id, win_idx)
 """
+
+
+SQL_WINDOW_FEATURES = _wf_sql(
+    _W2SIZE, _W2STEP, _W2MIN, "CAST(FLOOR(e.value) - 40 AS DOUBLE)", s=1
+)
+SQL_WINDOW_F35 = _wf_sql(
+    _WSIZE, _WSTEP, _WMIN, "CAST(ROUND(e.value * 100, 0) AS DOUBLE)", s=100
+)
 
 
 from feature_engineering_spark.plans.data_queries import (  # noqa: E402
@@ -789,6 +902,7 @@ ORACLE_SQL: dict[str, str] = {
     **DATA_ORACLE_SQL,
     **MISC_ORACLE_SQL,
     "window_stats": SQL_WINDOW_STATS,
+    "window_features_35": SQL_WINDOW_F35,
     "window_features_sql": SQL_WINDOW_FEATURES,
     "asof_join_events": SQL_ASOF,
     "asof_join_tolerance": SQL_ASOF_TOL,

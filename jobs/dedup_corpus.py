@@ -100,10 +100,25 @@ def main():
     clean = p.stage("neardup_dedup", build_neardup, ts_col="warc_ts")
     n3 = clean.count()
 
+    # no-silent-caps: report what the LSH bucket cap discarded (oversized
+    # buckets are assumed to be exact-dup boilerplate clusters already
+    # handled by the exact pass — this row makes that assumption auditable)
+    from feature_engineering_spark.operators.dedup import (
+        lsh_dropped_bucket_stats,
+        minhash_banded,
+    )
+
+    drop_row = lsh_dropped_bucket_stats(
+        minhash_banded(exact, text="text", id_col="doc_id"), max_bucket_size=64
+    ).collect()[0]
+
     corrupted = clean.where(F.sha2("text", 256) != F.col("ingest_sha")).count()
     stats = {
         "input": n0, "after_quality": n1, "after_exact": n2,
         "after_neardup": n3, "byte_identity_violations": corrupted,
+        "lsh_dropped_buckets": int(drop_row["n_dropped_buckets"] or 0),
+        "lsh_dropped_rows": int(drop_row["n_dropped_rows"] or 0),
+        "lsh_max_bucket_seen": int(drop_row["max_bucket_size_seen"] or 0),
     }
     print(json.dumps(stats))
     assert corrupted == 0

@@ -54,17 +54,24 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
     pages = p.stage("pages", load_pages, ts_col="warc_ts")
     n_pages = pages.count()
 
+    # row_key: deterministic unique-ish tiebreak derived from row CONTENT
+    # (not monotonically_increasing_id, which depends on the physical
+    # partitioning) — pins duplicate-warc_ts ordering so the whole pipeline
+    # is reproducible run-to-run; rows identical in (url, ts, text) tie, but
+    # such rows are interchangeable so every downstream stat is unaffected.
     signals = p.stage(
         "signals",
         lambda: derive_text_signals(pages).select(
-            "url", "warc_ts", "n_chars", "n_tokens", "digit_ratio"
+            "url", "warc_ts", "n_chars", "n_tokens", "digit_ratio",
+            F.xxhash64("url", "warc_ts", "text").alias("row_key"),
         ),
         ts_col="warc_ts",
     )
 
     sessions = p.stage(
         "sessions",
-        lambda: sessionize(signals, "url", "warc_ts", 1800),
+        lambda: sessionize(signals, "url", "warc_ts", 1800,
+                           order_tiebreak="row_key"),
         ts_col="warc_ts",
     )
 
@@ -74,11 +81,13 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
         lab_path = os.path.join(out_root, "_input", "labels.parquet")
         if not os.path.exists(lab_path):
             write_labels_parquet(lab_path, n_rows, seed=42)
-        labels = spark.read.parquet(lab_path)
+        labels = spark.read.parquet(lab_path).withColumn(
+            "lab_key", F.xxhash64("url", "label_ts", "iri")
+        )
         return asof_join(
             sessions, labels, on="url", left_ts="warc_ts", right_ts="label_ts",
             right_cols=["iri"], direction="backward",
-            tolerance_seconds=7 * 86400.0,
+            tolerance_seconds=7 * 86400.0, right_tiebreak="lab_key",
         )
 
     labeled = p.stage("labeled", build_labeled, ts_col="warc_ts")
@@ -90,6 +99,7 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
             signals=("n_chars", "n_tokens", "digit_ratio"),
             window_size=window_size, step=step, min_points=min_points,
             target_rows_per_task=100_000,
+            order_tiebreak="row_key",
         ),
     )
     n_feat = features.count()

@@ -189,3 +189,27 @@ def test_bucketed_range_join_equals_theta_join(spark):
         .select("k", "iid", "v").toPandas().sort_values(["iid", "v"])
     )
     pd.testing.assert_frame_equal(gp.reset_index(drop=True), exp.reset_index(drop=True))
+
+
+def test_bucketed_range_join_guards(spark):
+    """Non-inner `how` raises (the exact-range verify filter would silently
+    degrade outer joins to inner); inverted intervals (hi < lo) are dropped
+    instead of exploding downward-counting buckets."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feature_engineering_spark.operators.rangejoin import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    epoch0 = facts.select(F.unix_timestamp("ts").cast("double").alias("e")).collect()[0]["e"]
+    iv = spark.createDataFrame(
+        [(1, epoch0 - 60.0, epoch0 + 60.0, "ok"),
+         (1, epoch0 + 9e6, epoch0 - 9e6, "inverted")],
+        "k int, lo double, hi double, tag string",
+    )
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_range_join(facts, iv, on="k", fact_ts="ts", lo="lo", hi="hi", how="left")
+    got = bucketed_range_join(facts, iv, on="k", fact_ts="ts", lo="lo", hi="hi").toPandas()
+    assert got["tag"].tolist() == ["ok"]

@@ -45,7 +45,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object and len(df) and isinstance(df[c].dropna().iloc[0] if df[c].notna().any() else "", (list, np.ndarray)):
             df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
-    return df.sort_values(list(df.columns), kind="stable", na_position="last").reset_index(drop=True)
+    # Sort on the driver's 6-decimal grid (value_hash rounds floats before
+    # hashing): raw-emitted stats may differ between engines in the last
+    # ulp, and sorting on raw floats would misalign otherwise-equal rows.
+    key = df.copy()
+    for c in key.columns:
+        if pd.api.types.is_float_dtype(key[c]):
+            key[c] = key[c].round(6)
+    order = key.sort_values(
+        list(key.columns), kind="stable", na_position="last"
+    ).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def _assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str):

@@ -94,6 +94,74 @@ def test_media_bad_payload_null_row(spark):
     assert len(out) == 1 and out["width"].isna().all()
 
 
+def _pgm(w: int, h: int, px: np.ndarray, comment: bool = False) -> bytes:
+    hdr = b"P5\n"
+    if comment:
+        hdr += b"# generated fixture\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    return hdr + px.astype(np.uint8).tobytes()
+
+
+def test_pgm_decoder_pure_python():
+    """Real-codec branch, no Spark: the stdlib PGM(P5) parser round-trips
+    pixels and survives comments/whitespace; truncated/garbage is None."""
+    from feature_engineering_spark.functions.media_worker import (
+        decode_pgm,
+        parse_header,
+    )
+
+    px = (np.arange(12 * 7) * 13 % 256).astype(np.uint8)
+    img = decode_pgm(_pgm(12, 7, px, comment=True))
+    assert img.shape == (7, 12)
+    assert (img.ravel() == px).all()
+    assert parse_header(_pgm(12, 7, px)) == (12, 7, 1)
+    assert decode_pgm(b"P5\n3 3\n255\n" + b"\x00" * 8) is None  # truncated
+    assert decode_pgm(b"P5\nx y\n255\n0000") is None  # garbage dims
+    assert parse_header(b"NOTPGM") is None
+
+
+def test_media_features_real_pgm_codec(spark):
+    """use_real_codecs=True is a TESTED branch: real PGM payloads decode
+    through the stdlib parser and produce the same stats numpy computes."""
+    rng = np.random.default_rng(3)
+    rows, expected = [], {}
+    for i in range(10):
+        w, h = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+        rows.append((i, "image", _pgm(w, h, px, comment=(i % 2 == 0)), None))
+        arr = px.astype("float64")
+        ys, xs = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        resized = px.reshape(h, w)[np.ix_(ys, xs)]
+        expected[i] = (w, h, float(arr.mean()), float(arr.std()),
+                       int(resized.astype("int64").sum()))
+    df = spark.createDataFrame(
+        rows,
+        schema="media_id long, media_type string, payload binary, "
+               "meta struct<width:int, height:int, n_frames:int, codec:string>",
+    )
+    out = media_features(df, use_real_codecs=True).toPandas().set_index("media_id")
+    for i, (w, h, mean, std, chk) in expected.items():
+        r = out.loc[i]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
+        assert abs(r["mean_intensity"] - mean) < 1e-9
+        assert abs(r["std_intensity"] - std) < 1e-9
+        assert r["resized_checksum"] == chk
+
+
+def test_media_features_pgm_rejected_without_flag(spark):
+    """Default mode must NOT silently decode non-FMM1 payloads."""
+    import pytest as _pytest
+
+    px = np.zeros(16, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, "image", _pgm(4, 4, px), None)],
+        schema="media_id long, media_type string, payload binary, "
+               "meta struct<width:int, height:int, n_frames:int, codec:string>",
+    )
+    with _pytest.raises(Exception, match="real codecs|NotImplementedError"):
+        media_features(df, use_real_codecs=False).collect()
+
+
 def test_media_metadata_stats_prunes_payload(spark, tmp_path):
     """Metadata-only aggregation must not read the binary payload: the
     parquet ReadSchema excludes it (Catalyst column pruning)."""

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from feature_engineering_spark.sources.pages import generate_labels, generate_pages
 
 
@@ -82,3 +84,22 @@ def test_drop_duplicate_columns(spark):
     assert row["name"] == "x" and row["v"] == 2.0  # first occurrence kept
     # no-op on unique schemas
     assert drop_duplicate_columns(a) is a
+
+
+def test_drop_duplicate_columns_verify_values(spark):
+    """verify_values guards the name-based dedup's assumption: identical
+    content passes, divergent content raises instead of silently dropping."""
+    import pytest
+
+    from feature_engineering_spark.operators.split import drop_duplicate_columns
+
+    a = spark.range(5).select("id", (F.col("id") * 2).alias("v"))
+    b = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    same = a.join(b, a["id"] == b["k"]).select("id", a["v"], b["v"])
+    out = drop_duplicate_columns(same, verify_values=True)
+    assert out.columns == ["id", "v"] and out.count() == 5
+
+    c = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    diff = a.join(c, a["id"] == c["k"]).select("id", a["v"], c["v"])
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        drop_duplicate_columns(diff, verify_values=True)

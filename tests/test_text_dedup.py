@@ -225,3 +225,29 @@ def test_embedding_lsh_bucket_guard(spark):
     pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
     assert not any(x < 200 and y < 200 for x, y in pairs)
     assert (500, 501) in pairs
+
+
+def test_lsh_dropped_bucket_stats_reports_cap(spark):
+    """No-silent-caps: the drop-stats companion reports exactly what the
+    mega-cluster guard discards (and zero when nothing exceeds the cap)."""
+    import pandas as pd
+
+    from feature_engineering_spark.operators.dedup import (
+        lsh_dropped_bucket_stats,
+        minhash_banded,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(200)] + [
+        (1000, "alpha beta gamma delta epsilon zeta"),
+        (1001, "alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    banded = minhash_banded(df, text="text", id_col="doc_id")
+    row = lsh_dropped_bucket_stats(banded, max_bucket_size=64).collect()[0]
+    # the 200-identical cluster shares every band bucket -> 8 dropped buckets
+    assert row["n_dropped_buckets"] == 8
+    assert row["n_dropped_rows"] == 8 * 200
+    assert row["max_bucket_size_seen"] == 200
+    quiet = lsh_dropped_bucket_stats(banded, max_bucket_size=500).collect()[0]
+    assert quiet["n_dropped_buckets"] == 0 and quiet["n_dropped_rows"] == 0
