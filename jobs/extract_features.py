@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from feature_engineering_spark.operators.asof import asof_join  # noqa: E402
+from feature_engineering_spark.operators.keys import (  # noqa: E402
+    decode_key,
+    encode_key,
+    key_dictionary,
+    verify_injective,
+)
 from feature_engineering_spark.operators.sessionize import sessionize  # noqa: E402
 from feature_engineering_spark.operators.skew import salted_window_features  # noqa: E402
 from feature_engineering_spark.operators.windows import derive_text_signals  # noqa: E402
@@ -68,10 +74,19 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
         ts_col="warc_ts",
     )
 
+    # Surrogate-key encoding (operators/keys.py): every downstream shuffle
+    # (sessionize window, as-of union, salted repartition) keys on an 8-byte
+    # url_key instead of the 40-200 byte url string; the string is
+    # re-attached by a dictionary join only at the end. verify_injective
+    # makes a 64-bit collision (would silently merge two urls' histories)
+    # a loud failure instead.
+    urldict = key_dictionary(signals, "url")
+    verify_injective(urldict)
+
     sessions = p.stage(
         "sessions",
-        lambda: sessionize(signals, "url", "warc_ts", 1800,
-                           order_tiebreak="row_key"),
+        lambda: sessionize(encode_key(signals, "url"), "url_key", "warc_ts",
+                           1800, order_tiebreak="row_key"),
         ts_col="warc_ts",
     )
 
@@ -85,7 +100,8 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
             "lab_key", F.xxhash64("url", "label_ts", "iri")
         )
         return asof_join(
-            sessions, labels, on="url", left_ts="warc_ts", right_ts="label_ts",
+            sessions, encode_key(labels, "url"), on="url_key",
+            left_ts="warc_ts", right_ts="label_ts",
             right_cols=["iri"], direction="backward",
             tolerance_seconds=7 * 86400.0, right_tiebreak="lab_key",
         )
@@ -94,12 +110,15 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
 
     features = p.stage(
         "features",
-        lambda: salted_window_features(
-            labeled, key="url", ts="warc_ts",
-            signals=("n_chars", "n_tokens", "digit_ratio"),
-            window_size=window_size, step=step, min_points=min_points,
-            target_rows_per_task=100_000,
-            order_tiebreak="row_key",
+        lambda: decode_key(
+            salted_window_features(
+                labeled, key="url_key", ts="warc_ts",
+                signals=("n_chars", "n_tokens", "digit_ratio"),
+                window_size=window_size, step=step, min_points=min_points,
+                target_rows_per_task=100_000,
+                order_tiebreak="row_key",
+            ),
+            urldict,
         ),
     )
     n_feat = features.count()

@@ -45,15 +45,22 @@ spark.range(100000).repartition(int(cpus)).mapInPandas(
 ).write.format("noop").mode("overwrite").save()
 
 t0 = time.monotonic()
+# Surrogate-key encoding (operators/keys.py): all shuffles key on an 8-byte
+# xxhash64(url) long; the url string is re-attached by one dictionary join
+# at the end (AQE broadcasts it). Strings through shuffle dominated row
+# width at the salted repartition and the as-of union.
+from feature_engineering_spark.operators.keys import decode_key, encode_key, key_dictionary
 sig = derive_text_signals(pages).select("url", "warc_ts", "n_chars", "n_tokens", "digit_ratio")
-ses = sessionize(sig, "url", "warc_ts", 1800)
-lab = asof_join(ses, labels, on="url", left_ts="warc_ts", right_ts="label_ts",
+urldict = key_dictionary(sig, "url")
+ses = sessionize(encode_key(sig, "url"), "url_key", "warc_ts", 1800)
+lab = asof_join(ses, encode_key(labels, "url"), on="url_key",
+                left_ts="warc_ts", right_ts="label_ts",
                 right_cols=["iri"], tolerance_seconds=7 * 86400.0)
-feats = salted_window_features(lab, key="url", ts="warc_ts",
+feats = salted_window_features(lab, key="url_key", ts="warc_ts",
                                signals=("n_chars", "n_tokens", "digit_ratio"),
                                window_size=3600.0, step=360.0, min_points=5,
                                target_rows_per_task=20000)
-feats.write.format("noop").mode("overwrite").save()
+decode_key(feats, urldict).write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
 
 def descendants_cpu():
