@@ -8,8 +8,9 @@ Pipeline (the generalization of /root/reference/get_features.py E1 + the
 matching.pyc alignment stage E0):
   1. pages scan (or synthesize the deterministic fixture if --rows given)
   2. derive numeric text signals (n_chars, n_tokens, digit_ratio)
-  3. sessionize (30-min gap on warc_ts per url)
-  4. as-of join labels (strictly causal backward match + tolerance)
+  3. as-of join labels (strictly causal backward match + tolerance)
+  4. sessionize (30-min gap on warc_ts per url; runs after the as-of join
+     to reuse its hash(url_key)+ts shuffle order — zero extra exchange)
   5. salted sliding-window 35-feature extraction
 Each stage is checkpointed with lineage rows (resume = rerun the command).
 """
@@ -83,14 +84,15 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
     urldict = key_dictionary(signals, "url")
     verify_injective(urldict)
 
-    sessions = p.stage(
-        "sessions",
-        lambda: sessionize(encode_key(signals, "url"), "url_key", "warc_ts",
-                           1800, order_tiebreak="row_key"),
-        ts_col="warc_ts",
-    )
-
-    def build_labeled():
+    # ONE stage for as-of enrich + sessionize, asof FIRST: both need
+    # hash(url_key) distribution + warc_ts order, and the as-of union's
+    # window already shuffles+sorts exactly that way, so sessionize's window
+    # adds no exchange (alias-aware partitioning propagation; pinned in
+    # test_asof + test_plans_invariants). Sessionize reads only key+ts of
+    # left rows, which asof preserves — output identical to the old
+    # sessions->labeled order, with one fewer 8M-row shuffle and one fewer
+    # checkpoint materialization.
+    def build_enriched():
         from feature_engineering_spark.sources.pages import write_labels_parquet
 
         lab_path = os.path.join(out_root, "_input", "labels.parquet")
@@ -99,14 +101,16 @@ def run(spark, pages_path: str | None, out_root: str, n_rows: int,
         labels = spark.read.parquet(lab_path).withColumn(
             "lab_key", F.xxhash64("url", "label_ts", "iri")
         )
-        return asof_join(
-            sessions, encode_key(labels, "url"), on="url_key",
-            left_ts="warc_ts", right_ts="label_ts",
+        lab = asof_join(
+            encode_key(signals, "url"), encode_key(labels, "url"),
+            on="url_key", left_ts="warc_ts", right_ts="label_ts",
             right_cols=["iri"], direction="backward",
             tolerance_seconds=7 * 86400.0, right_tiebreak="lab_key",
         )
+        return sessionize(lab, "url_key", "warc_ts", 1800,
+                          order_tiebreak="row_key")
 
-    labeled = p.stage("labeled", build_labeled, ts_col="warc_ts")
+    labeled = p.stage("labeled", build_enriched, ts_col="warc_ts")
 
     features = p.stage(
         "features",

@@ -213,3 +213,21 @@ def test_bucketed_range_join_guards(spark):
         bucketed_range_join(facts, iv, on="k", fact_ts="ts", lo="lo", hi="hi", how="left")
     got = bucketed_range_join(facts, iv, on="k", fact_ts="ts", lo="lo", hi="hi").toPandas()
     assert got["tag"].tolist() == ["ok"]
+
+
+def test_sessionize_commutes_with_asof(spark, pages_df, labels_df):
+    """sessionize(asof(L, R)) == asof(sessionize(L), R): the session index
+    depends only on (key, ts) of left rows, which the as-of enrich
+    preserves — the fused order (asof first, reusing its shuffle) is a pure
+    physical optimization."""
+    from feature_engineering_spark.operators.sessionize import sessionize
+
+    kw = dict(on="url", left_ts="warc_ts", right_ts="label_ts",
+              right_cols=["iri"], tolerance_seconds=7 * 86400.0)
+    a = sessionize(asof_join(pages_df, labels_df, **kw), "url", "warc_ts", 1800)
+    b = asof_join(sessionize(pages_df, "url", "warc_ts", 1800), labels_df, **kw)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    pa = a.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)

@@ -109,3 +109,21 @@ def test_rolling_stats_zero_leakage(spark, pages_pdf):
     a, b = run(base), run(mut)
     assert len(a) > 100
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sessionize_after_asof_reuses_exchange(spark):
+    """Sessionize composed AFTER the union as-of join must NOT add a second
+    Exchange: both windows need hash(key) distribution + ts order, and the
+    as-of union already shuffled+sorted exactly that way (alias-aware
+    partitioning/ordering propagation). This is the fused flagship-pipeline
+    shape (jobs/extract_features, tools/scaling_bench)."""
+    from feature_engineering_spark.operators.asof import asof_join
+    from feature_engineering_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    j = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_cols=["value"])
+    fused = sessionize(j, "user_id", "ts", 1800)
+    plan = _plan(fused)
+    assert plan.count("Exchange hashpartitioning") == 1, plan

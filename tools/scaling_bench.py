@@ -52,11 +52,16 @@ t0 = time.monotonic()
 from feature_engineering_spark.operators.keys import decode_key, encode_key, key_dictionary
 sig = derive_text_signals(pages).select("url", "warc_ts", "n_chars", "n_tokens", "digit_ratio")
 urldict = key_dictionary(sig, "url")
-ses = sessionize(encode_key(sig, "url"), "url_key", "warc_ts", 1800)
-lab = asof_join(ses, encode_key(labels, "url"), on="url_key",
+# Sessionize AFTER the as-of join: both need hash(url_key) + (ts) order, and
+# the as-of union's window already shuffles+sorts exactly that way — Spark's
+# alias-aware ordering/partitioning propagation lets sessionize's window run
+# with NO second exchange. Identical output (sessionize reads only key+ts of
+# left rows, which asof preserves) — equivalence pinned in test_asof.
+lab = asof_join(encode_key(sig, "url"), encode_key(labels, "url"), on="url_key",
                 left_ts="warc_ts", right_ts="label_ts",
                 right_cols=["iri"], tolerance_seconds=7 * 86400.0)
-feats = salted_window_features(lab, key="url_key", ts="warc_ts",
+ses = sessionize(lab, "url_key", "warc_ts", 1800)
+feats = salted_window_features(ses, key="url_key", ts="warc_ts",
                                signals=("n_chars", "n_tokens", "digit_ratio"),
                                window_size=3600.0, step=360.0, min_points=5,
                                target_rows_per_task=20000)

@@ -117,13 +117,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=8_000_000)
     ap.add_argument("--loops", type=int, default=6)
+    ap.add_argument("--pairs", default="2,8,4",
+                    help="comma-separated base parallelisms; each measures (n, 4n)")
     args = ap.parse_args()
+    pairs = tuple(int(p) for p in args.pairs.split(","))
     base = "/tmp/fes_scaling"
     pages = os.path.join(base, f"pages_{args.rows}.parquet")
     labels = os.path.join(base, f"labels_{args.rows}.parquet")
     os.makedirs(os.path.dirname(STATE), exist_ok=True)
     for loop in range(args.loops):
-        for n in (2, 8, 4):
+        for n in pairs:
             try:
                 tn = measure(n, pages, labels, args.rows)
                 t4n = measure(4 * n, pages, labels, args.rows)
