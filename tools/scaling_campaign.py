@@ -31,22 +31,35 @@ def render(rows: int) -> None:
             return max(a["tn"]["load_before"], a["t4n"]["load_before"])
         return a["noise"]
 
-    def cpu_skew(a: dict) -> float:
-        # ratio of CPU-seconds burned at 4N vs N for IDENTICAL work: ~1.0
-        # means both points ran undisturbed (co-tenant memory contention
-        # inflates CPU time; observed 1.07x to 3.7x across windows)
-        cn = a["tn"].get("child_cpu_s") or 0
-        c4 = a["t4n"].get("child_cpu_s") or 0
-        return (c4 / cn) if cn else float("inf")
+    # Cleanest-attempt selection: CPU-seconds for IDENTICAL work increase
+    # monotonically with co-tenant contention, so for each pair the minimum
+    # observed CPU at each point is the "undisturbed" reference, and the
+    # cleanest ATTEMPT is the one whose two points are jointly closest to
+    # those references. (The earlier |cpu_skew - 1| rule mis-selects at
+    # (8,32): the intrinsic single-socket bandwidth skew there is ~3-4x,
+    # so an attempt whose N-point was disturbed can fake skew ~= 1.)
+    ref: dict[int, tuple[float, float]] = {}
+    for a in attempts:
+        n = a["n"]
+        cn = a["tn"].get("child_cpu_s") or float("inf")
+        c4 = a["t4n"].get("child_cpu_s") or float("inf")
+        lo = ref.get(n, (float("inf"), float("inf")))
+        ref[n] = (min(lo[0], cn), min(lo[1], c4))
+
+    def dirt(a: dict) -> float:
+        rn, r4 = ref[a["n"]]
+        cn = a["tn"].get("child_cpu_s") or float("inf")
+        c4 = a["t4n"].get("child_cpu_s") or float("inf")
+        if not (rn > 0 and r4 > 0 and cn < float("inf")):
+            return float("inf")
+        return cn / rn + c4 / r4  # 2.0 == both points at their cleanest
 
     best: dict[int, dict] = {}
     for a in attempts:
         a["noise"] = ambient(a)
         n = a["n"]
-        # headline = the attempt with the most EQUAL CPU totals (both
-        # points undisturbed); ambient load breaks ties
-        key = (abs(cpu_skew(a) - 1.0), a["noise"])
-        if n not in best or key < (abs(cpu_skew(best[n]) - 1.0), best[n]["noise"]):
+        key = (dirt(a), a["noise"])
+        if n not in best or key < (dirt(best[n]), best[n]["noise"]):
             best[n] = a
     lines = [
         "# BENCH/BASELINE — two-point scaling evidence\n",
@@ -63,10 +76,11 @@ def render(rows: int) -> None:
         "gate >= 0.8 (north_rule). Parallelism levels stand in for executor",
         "counts per the task instructions.\n",
         "## Cleanest attempt per pair\n",
-        "Selection: the attempt whose two points burned the most EQUAL",
-        "CPU-seconds for the identical work (CPU-time inflation is the",
-        "fingerprint of co-tenant memory contention hitting one point;",
-        "~1.0 skew = both points undisturbed). All attempts listed below.\n",
+        "Selection: CPU-seconds for identical work rise monotonically with",
+        "co-tenant contention, so the minimum CPU ever observed at each",
+        "point is its undisturbed reference; the cleanest attempt is the",
+        "one whose two points are jointly closest to those references",
+        "(sum of per-point CPU ratios). All attempts listed below.\n",
         "| pair | T(N) docs/s | T(4N) docs/s | efficiency | CPU-s N | CPU-s 4N | ambient load |",
         "|---|---|---|---|---|---|---|",
     ]
