@@ -109,6 +109,17 @@ def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 1200.0) -> float:
         time.sleep(20)
 
 
+def code_sha() -> str:
+    """Short git SHA of HEAD — attempts are only comparable (CPU-seconds
+    for 'identical work') within one code version."""
+    try:
+        out = subprocess.run(["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True, timeout=10)
+        return out.stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
 def measure(cpus: int, pages: str, labels: str, rows: int) -> dict:
     script = CHILD.format(repo=REPO)
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # don't GC-throttle 32 tasks
@@ -121,6 +132,7 @@ def measure(cpus: int, pages: str, labels: str, rows: int) -> dict:
     r = json.loads(line)
     r["load_before"] = load
     r["load_after"] = float(open("/proc/loadavg").read().split()[0])
+    r["sha"] = code_sha()
     return r
 
 

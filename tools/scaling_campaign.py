@@ -25,6 +25,15 @@ OUT = os.path.join(REPO, "BENCH", "BASELINE.md")
 def render(rows: int) -> None:
     attempts = [json.loads(l) for l in open(STATE)] if os.path.exists(STATE) else []
 
+    # CPU-seconds are only comparable within ONE code version (faster code
+    # burns less CPU for the same work): headline selection + references
+    # use only the newest generation's attempts; older ones stay listed.
+    all_attempts = attempts
+    shas = [a.get("tn", {}).get("sha") for a in attempts]
+    if any(shas):
+        newest = [s for s in shas if s][-1]
+        attempts = [a for a, s in zip(all_attempts, shas) if s == newest]
+
     def ambient(a: dict) -> float:
         # prefer pre-run load: post-run load counts our own threads
         if "load_before" in a.get("tn", {}):
@@ -108,14 +117,17 @@ def render(rows: int) -> None:
         "The (2,8) and (4,16) pairs below sit under the bandwidth ceiling",
         "and demonstrate the code's scaling directly.\n",
         "## All attempts\n",
-        "| pair | T(N) | T(4N) | efficiency | ambient load |",
-        "|---|---|---|---|---|",
+        "| pair | T(N) | T(4N) | efficiency | ambient load | code |",
+        "|---|---|---|---|---|---|",
     ]
-    for a in attempts:
+    for a in all_attempts:
         eff = a["t4n"]["docs_per_sec"] / (4 * a["tn"]["docs_per_sec"])
+        if "noise" not in a:
+            a["noise"] = ambient(a)
+        sha = a.get("tn", {}).get("sha") or "r1/r2"
         lines.append(
             f"| {a['n']}/{4*a['n']} | {a['tn']['docs_per_sec']} | "
-            f"{a['t4n']['docs_per_sec']} | {eff:.3f} | {a['noise']:.1f} |"
+            f"{a['t4n']['docs_per_sec']} | {eff:.3f} | {a['noise']:.1f} | {sha} |"
         )
     lines.append(
         "\nConfig: AQE (coalesce+skewJoin), shuffle.partitions=cores, Arrow "
