@@ -110,14 +110,22 @@ def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 1200.0) -> float:
 
 
 def code_sha() -> str:
-    """Short git SHA of HEAD — attempts are only comparable (CPU-seconds
-    for 'identical work') within one code version."""
+    """Generation id of the MEASURED code: last commit touching the engine
+    package + a hash of the CHILD pipeline template in this file.
+    Attempts are only comparable (CPU-seconds for 'identical work') within
+    one generation; tooling-only commits must not split one."""
+    import hashlib
+
+    child = hashlib.md5(CHILD.encode()).hexdigest()[:6]
     try:
-        out = subprocess.run(["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
-                             capture_output=True, text=True, timeout=10)
-        return out.stdout.strip() or "unknown"
+        out = subprocess.run(
+            ["git", "-C", REPO, "log", "-1", "--format=%h", "--",
+             "feature_engineering_spark"],
+            capture_output=True, text=True, timeout=10)
+        eng = out.stdout.strip() or "unknown"
     except OSError:
-        return "unknown"
+        eng = "unknown"
+    return f"{eng}+{child}"
 
 
 def measure(cpus: int, pages: str, labels: str, rows: int) -> dict:
