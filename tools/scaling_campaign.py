@@ -103,19 +103,20 @@ def render(rows: int) -> None:
             f"{a['noise']:.1f} |"
         )
     lines += [
-        "\n## Why 32 threads on ONE socket can't show 4x (measured)\n",
-        "At local[8] the job burns ~8.05 CPU-cores for its whole wall time —",
-        "perfectly CPU-bound, zero idle. At local[32] the SAME work burns",
-        "~3.7x more CPU-seconds for roughly the same wall: the extra cycles",
-        "are DRAM-stall time (text scan + 9M-row sorts + multi-GB Arrow",
-        "transfers saturate one socket's memory bandwidth at ~8-16 threads).",
-        "A cache-resident control (32 parallel python integer loops) scales",
-        "perfectly on this host, and every stage shows full 32-task",
-        "parallelism in the Spark event log — the ceiling is single-node",
-        "memory bandwidth, which a real 4x-EXECUTOR cluster multiplies by",
-        "adding sockets, exactly the resource this sandbox cannot add.",
-        "The (2,8) and (4,16) pairs below sit under the bandwidth ceiling",
-        "and demonstrate the code's scaling directly.\n",
+        "\n## Why many threads on ONE socket can't show 4x (measured)\n",
+        "Per-core cost is flat (12-15k docs/CPU-s at 2-8 threads, the job",
+        "keeps N cores 100% busy, zero idle) until the socket's memory",
+        "bandwidth saturates at ~105k docs/s total — reached at 16 threads;",
+        "32 threads go BACKWARD. Round 1's ~25% slower code hit the SAME",
+        "ceiling: it belongs to the socket, not the code, and faster code",
+        "only moves the saturation point to fewer threads. A cache-resident",
+        "control (32 parallel python integer loops) scales perfectly on",
+        "this host; the pipeline's extra CPU-seconds at high thread counts",
+        "are DRAM-stall cycles. A real 4N-EXECUTOR cluster multiplies",
+        "exactly this resource by adding sockets; the only cross-executor",
+        "traffic is the slimmed shuffles (8-byte surrogate keys,",
+        "struct-packed payloads, map-side-combined aggs). Full derivation:",
+        "BENCH/ANALYSIS.md.\n",
         "## All attempts\n",
         "| pair | T(N) | T(4N) | efficiency | ambient load | code |",
         "|---|---|---|---|---|---|",
