@@ -2,6 +2,11 @@ from feature_engineering_spark.operators.asof import (  # noqa: F401
     asof_join,
     backfill_asof,
 )
+from feature_engineering_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+    dedup_keep_canonical,
+)
 from feature_engineering_spark.operators.lagging import (  # noqa: F401
     lag_lead_delta,
     rolling_causal_stats,

@@ -224,6 +224,24 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive cluster closure of the MinHash near-dup pairs
+    (operators/graph.connected_components, hash-min label propagation with
+    per-round lineage checkpoints): (doc_id, canonical_id) where
+    canonical_id = min doc id of the doc's cluster. The oracle closes the
+    SAME hash-verified edge set with a DuckDB recursive CTE — the closure
+    of an exact set is unique, so the iterative Spark path must match it
+    exactly. 133 pairs at sf0.01 close into 77 clusters (up to size 4):
+    chained near-dups A~B~C really occur, so pairwise dropping would
+    either under-delete or double-delete without this step."""
+    from feature_engineering_spark.operators.dedup import minhash_lsh_dedup
+    from feature_engineering_spark.operators.graph import dedup_clusters
+
+    d = _docs_with_dupes(spark, sf_dir)
+    pairs = minhash_lsh_dedup(d, threshold=0.5)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def _minhash_sql_parts(num_hashes: int = 32, bands: int = 8) -> tuple[str, str]:
     """The 32 affine-minhash MIN aggregates and 8 band-key expressions,
     generated from the SAME constants the Spark operator uses."""
@@ -288,6 +306,28 @@ FROM cand c JOIN g ga ON ga.id = c.a JOIN g gb ON gb.id = c.b
 WHERE len(list_distinct(ga.sh || gb.sh)) > 0
   AND len(list_intersect(ga.sh, gb.sh))::DOUBLE
       / len(list_distinct(ga.sh || gb.sh)) >= 0.5
+"""
+
+
+# Transitive closure of the hash-verified MinHash edge set: a recursive
+# CTE computes every (src, reachable dst) pair, then MIN(dst) per src is
+# the canonical label — the unique closure the distributed hash-min
+# propagation (operators/graph.py) must reproduce exactly.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE edges AS (SELECT a, b FROM ({SQL_MINHASH_LSH}) e),
+sym AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges
+  UNION SELECT b, b FROM edges
+),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+)
+SELECT src AS doc_id, MIN(dst) AS canonical_id
+FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
@@ -694,6 +734,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -713,6 +754,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh_dedup": SQL_MINHASH_LSH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "ann_topk": SQL_ANN_TOPK,
