@@ -4,8 +4,9 @@ over the pages table, checkpointed and resumable:
   1. text signals + quality scoring + language ID (scan-side JVM)
   2. quality/lang filter
   3. exact dedup (content-hash groupBy, min-id keeper)
-  4. MinHash+LSH near-dup removal (verified Jaccard >= threshold;
-     the LOWER id of each verified pair survives)
+  4. MinHash+LSH near-dup removal (verified Jaccard >= threshold, pairs
+     closed into transitive clusters via connected components; the MIN id
+     of each cluster survives)
   5. byte-identity audit: surviving text hashes unchanged from ingest
 
     python jobs/dedup_corpus.py --rows 50000 --out /tmp/fes_dedup
@@ -91,11 +92,15 @@ def main():
     n2 = exact.count()
 
     def build_neardup():
+        from feature_engineering_spark.operators.graph import dedup_keep_canonical
+
         pairs = minhash_lsh_dedup(
             exact, text="text", id_col="doc_id", threshold=args.jaccard
         )
-        drop = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
-        return exact.join(drop, "doc_id", "left_anti")
+        # transitive cluster closure, ONE survivor (min id) per cluster —
+        # pairwise greatest(a,b) dropping under-deletes on chains (pairs
+        # (A,C),(B,C) would keep both A and B despite sharing a cluster)
+        return dedup_keep_canonical(exact, pairs, id_col="doc_id")
 
     clean = p.stage("neardup_dedup", build_neardup, ts_col="warc_ts")
     n3 = clean.count()
