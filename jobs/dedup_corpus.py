@@ -32,23 +32,16 @@ from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
 from feature_engineering_spark.session import get_spark  # noqa: E402
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=50_000)
-    ap.add_argument("--out", default="/tmp/fes_dedup")
-    ap.add_argument("--min-quality", type=float, default=0.4)
-    ap.add_argument("--jaccard", type=float, default=0.6)
-    ap.add_argument("--master", default=None)
-    args = ap.parse_args()
-    spark = get_spark("dedup_corpus", master=args.master)
-    p = Pipeline(spark, args.out)
+def run(spark, out_root: str, n_rows: int, min_quality: float = 0.4,
+        jaccard: float = 0.6) -> dict:
+    p = Pipeline(spark, out_root)
 
     def load_pages():
         from feature_engineering_spark.sources.pages import write_pages_parquet
 
-        path = os.path.join(args.out, "_input", "pages.parquet")
+        path = os.path.join(out_root, "_input", "pages.parquet")
         if not os.path.exists(path):
-            write_pages_parquet(path, args.rows, seed=42)
+            write_pages_parquet(path, n_rows, seed=42)
         df = spark.read.parquet(path)
         # the synthetic fixture has no duplicates — inject a deterministic
         # dup layer so the dedup stages demonstrably remove rows: ~5% exact
@@ -77,7 +70,7 @@ def main():
 
     filtered = p.stage(
         "filtered",
-        lambda: scored.where(F.col("quality") >= args.min_quality),
+        lambda: scored.where(F.col("quality") >= min_quality),
         ts_col="warc_ts",
     )
     n1 = filtered.count()
@@ -95,7 +88,7 @@ def main():
         from feature_engineering_spark.operators.graph import dedup_keep_canonical
 
         pairs = minhash_lsh_dedup(
-            exact, text="text", id_col="doc_id", threshold=args.jaccard
+            exact, text="text", id_col="doc_id", threshold=jaccard
         )
         # transitive cluster closure, ONE survivor (min id) per cluster —
         # pairwise greatest(a,b) dropping under-deletes on chains (pairs
@@ -125,8 +118,21 @@ def main():
         "lsh_dropped_rows": int(drop_row["n_dropped_rows"] or 0),
         "lsh_max_bucket_seen": int(drop_row["max_bucket_size_seen"] or 0),
     }
-    print(json.dumps(stats))
     assert corrupted == 0
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=50_000)
+    ap.add_argument("--out", default="/tmp/fes_dedup")
+    ap.add_argument("--min-quality", type=float, default=0.4)
+    ap.add_argument("--jaccard", type=float, default=0.6)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark("dedup_corpus", master=args.master)
+    print(json.dumps(run(spark, args.out, args.rows,
+                         args.min_quality, args.jaccard)))
 
 
 if __name__ == "__main__":

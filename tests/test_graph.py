@@ -75,3 +75,19 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=2)
+
+
+def test_dedup_corpus_job_closure(spark, tmp_path):
+    """End-to-end corpus job: quality filter -> exact dedup -> MinHash
+    pairs -> cluster closure, resumable, byte-identity audited. Survivor
+    count must be exact: after_exact - (non-canonical cluster members)."""
+    from jobs.dedup_corpus import run
+
+    stats = run(spark, str(tmp_path / "dedup_run"), n_rows=4000)
+    assert stats["byte_identity_violations"] == 0
+    assert stats["input"] > stats["after_quality"] >= stats["after_exact"]
+    assert stats["after_exact"] > stats["after_neardup"]  # near-dups exist
+    # resume path: a second run over the same root replays nothing and
+    # reports identical counts
+    again = run(spark, str(tmp_path / "dedup_run"), n_rows=4000)
+    assert again == stats
