@@ -21,14 +21,21 @@ import pandas as pd
 MAGIC = b"FMM1"
 
 
-def parse_header(payload: bytes) -> tuple[int, int, int] | None:
-    """(width, height, n_frames) for either container; None if undecodable."""
+def parse_header(
+    payload: bytes, use_real_codecs: bool = True
+) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) for either container; None if undecodable.
+
+    Real formats (PGM) are only ACCEPTED when ``use_real_codecs`` — with
+    codecs disabled a P5 payload is "undecodable" (None -> null-feature
+    row downstream) rather than a header that decode_frame will then
+    refuse, which would kill a whole mapInPandas stage over one row."""
     if payload is None or len(payload) < 10:
         return None
     if payload[:4] == MAGIC:
         w, h, nf = struct.unpack(">HHH", payload[4:10])
         return w, h, nf
-    if payload[:2] == b"P5":
+    if payload[:2] == b"P5" and use_real_codecs:
         parsed = _parse_pgm(payload)
         if parsed is not None:
             w, h, _maxval, _off = parsed
@@ -108,7 +115,7 @@ def make_media_features_mapper(frame_stride: int, use_real_codecs: bool):
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else None
-                hdr = parse_header(payload)
+                hdr = parse_header(payload, use_real_codecs)
                 if hdr is None:
                     rows.append((int(mid), mtype, None, None, None, None,
                                  None, None, None))

@@ -43,14 +43,22 @@ def make_partition_window_mapper(
     is derived here as t0s + chunk*span (same double arithmetic the JVM
     side used to ship as two extra per-row columns — deriving it in the
     kernel saves 16 bytes/row through the salted shuffle).
+
+    The mapper STREAMS Arrow batches: complete groups are processed as
+    soon as a batch closes them; only the trailing (possibly incomplete)
+    group is carried across batches. The previous implementation
+    pd.concat-ed the whole partition up front — at 2M rows/partition that
+    is an ~80 MB copy plus every later pass re-streaming it from DRAM,
+    measured as part of the single-socket bandwidth ceiling that bounds
+    thread-scaling (BENCH/ANALYSIS.md). Working set per piece is now one
+    Arrow batch + the open group, which stays cache-resident. Numerics
+    are unchanged: windows never cross group boundaries, and every group
+    is processed whole.
     """
     group_cols = [key] if bounds_cols is None else [key, "__chunk"]
 
-    def mapper(batches):
-        pdfs = [b for b in batches if len(b)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    def _process(pdf):
+        """Feature rows for a frame whose groups are all COMPLETE."""
         t = pdf["__t"].to_numpy(dtype="float64")
         gkeys = [pdf[c].to_numpy() for c in group_cols]
         new_grp = np.zeros(len(pdf), dtype=bool)
@@ -87,7 +95,7 @@ def make_partition_window_mapper(
             all_ends.append(ends[keep])
             all_grp.append(np.full(int(keep.sum()), gi))
         if not all_starts:
-            return
+            return None
         starts = np.concatenate(all_starts)
         lo = np.concatenate(all_lo)
         ends = np.concatenate(all_ends)
@@ -108,6 +116,42 @@ def make_partition_window_mapper(
             feats = compute_features_batch(vals, lo, ends)
             for j, c in enumerate(feature_columns(s)):
                 data[c] = feats[:, j]
-        yield pd.DataFrame(data, columns=out_cols)
+        return pd.DataFrame(data, columns=out_cols)
+
+    def _concat(pieces):
+        if len(pieces) == 1:
+            return pieces[0]
+        return pd.concat(pieces, ignore_index=True)
+
+    def mapper(batches):
+        tail: list = []           # pieces of the open (trailing) group
+        prev_last: tuple | None = None  # group-col values of the last row seen
+        for b in batches:
+            if not len(b):
+                continue
+            gvals = [b[c].to_numpy() for c in group_cols]
+            bs = np.zeros(len(b), dtype=bool)
+            for gv in gvals:
+                bs[1:] |= gv[1:] != gv[:-1]
+            if prev_last is None or any(
+                gv[0] != pl for gv, pl in zip(gvals, prev_last)
+            ):
+                bs[0] = True
+            prev_last = tuple(gv[-1] for gv in gvals)
+            starts = np.flatnonzero(bs)
+            if len(starts) == 0:  # whole batch continues the open group
+                tail.append(b)
+                continue
+            last = int(starts[-1])  # start of the batch's final group
+            closed = tail + ([b.iloc[:last]] if last else [])
+            if closed:
+                out = _process(_concat(closed))
+                if out is not None:
+                    yield out
+            tail = [b.iloc[last:]]
+        if tail:
+            out = _process(_concat(tail))
+            if out is not None:
+                yield out
 
     return mapper

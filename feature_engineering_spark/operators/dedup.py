@@ -191,6 +191,31 @@ def minhash_banded(
     return _band_signature(sig, bands, num_hashes // bands)
 
 
+def _candidates_from_banded(
+    banded: DataFrame, max_bucket_size: int | None = 64
+) -> DataFrame:
+    """Candidate pairs from an (id, band, bucket) frame: cap oversized
+    buckets, then self-join on (band, bucket)."""
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc") <= max_bucket_size)
+            .drop("__bc")
+        )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     sig: DataFrame,
     bands: int = 8,
@@ -212,25 +237,59 @@ def minhash_lsh_candidates(
     of an unguarded assumption, and the job EMITS the drop counts via
     lsh_dropped_bucket_stats — no silent caps). The bucket count reuses
     the join's own (band, bucket) hash partitioning — no extra shuffle."""
-    banded = _band_signature(sig, bands, rows_per_band)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc") <= max_bucket_size)
-            .drop("__bc")
-        )
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+    return _candidates_from_banded(
+        _band_signature(sig, bands, rows_per_band), max_bucket_size
     )
+
+
+def minhash_lsh_dedup_parts(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup pipeline exposing its intermediates:
+    ``(pairs, banded, shingles)``.
+
+    - ``pairs``: verified (a, b, jaccard >= threshold) — same frame
+      ``minhash_lsh_dedup`` returns;
+    - ``banded``: the (id, band, bucket) frame the candidate join actually
+      used, so jobs compute ``lsh_dropped_bucket_stats`` on the REAL
+      banding instead of re-tokenizing the corpus for a second full
+      signature pass (which would undo the single-tokenization win);
+    - ``shingles``: the persisted (id, sh) frame. The caller OWNS its
+      lifecycle: call ``shingles.unpersist()`` once ``pairs``/stats are
+      materialized, or the cached frame lives until session end.
+
+    The corpus is tokenized/shingled ONCE: the (id, shingles) frame is
+    persisted (memory, spill-to-disk) and reused by the signature pass and
+    by BOTH sides of the verify join — previously each of those three
+    lineages re-scanned and re-shingled the corpus (measured ~1.5s of the
+    5.0s sf0.1 runtime). At cluster scale the persist is per-executor
+    storage-memory with disk spill; the alternative (recompute) costs two
+    extra full scans + md5 passes, which dominates for web-scale text."""
+    rows_per_band = num_hashes // bands
+    g = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
+    ).persist()
+    sig = _signatures_from_shingles(g, num_hashes)
+    banded = _band_signature(sig, bands, rows_per_band)
+    cand = _candidates_from_banded(banded, max_bucket_size)
+    j = (
+        cand.join(g.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(g.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    pairs = j.select("a", "b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+    return pairs, banded, g
 
 
 def minhash_lsh_dedup(
@@ -246,29 +305,17 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     Jaccard verify >= threshold. Returns verified (a, b, jaccard).
 
-    The corpus is tokenized/shingled ONCE: the (id, shingles) frame is
-    persisted (memory, spill-to-disk) and reused by the signature pass and
-    by BOTH sides of the verify join — previously each of those three
-    lineages re-scanned and re-shingled the corpus (measured ~1.5s of the
-    5.0s sf0.1 runtime). At cluster scale the persist is per-executor
-    storage-memory with disk spill; the alternative (recompute) costs two
-    extra full scans + md5 passes, which dominates for web-scale text."""
-    rows_per_band = num_hashes // bands
-    g = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
-    ).persist()
-    sig = _signatures_from_shingles(g, num_hashes)
-    cand = minhash_lsh_candidates(sig, bands, rows_per_band, max_bucket_size)
-    j = (
-        cand.join(g.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
-        .join(g.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+    NOTE on caching: the shingle frame backing the result is persisted and
+    stays in executor storage memory until the returned frame's last
+    consumer runs — one cached frame per call. Long-lived sessions making
+    repeated calls should use ``minhash_lsh_dedup_parts`` and unpersist
+    the shingle frame after materializing the pairs (jobs/dedup_corpus.py
+    does exactly that)."""
+    pairs, _banded, _g = minhash_lsh_dedup_parts(
+        df, text, id_col, threshold, num_hashes, bands, shingle_n,
+        max_bucket_size,
     )
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return j.select("a", "b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
-    )
+    return pairs
 
 
 def simhash_neardup_pairs(

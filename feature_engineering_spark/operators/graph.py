@@ -7,26 +7,37 @@ corpus dedup must close the transitive hull (A~B, B~C => {A,B,C} is one
 cluster) or chained near-dups survive. This is the missing last step of
 every large-scale near-dedup pipeline.
 
-Algorithm: hash-min label propagation. Every node starts labeled with its
-own id; each round every node takes the MIN label over itself and its
-neighbors; converged when no label changes. Rounds needed = graph
-diameter, which for near-dup clusters is small (they are dense blobs of
-mutually-similar docs, diameter 1-3; chains longer than ~10 are
-pathological boilerplate that exact dedup or the LSH bucket cap already
-handles). For adversarial diameters the published fix is the
-large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) which converges in O(log^2 n) rounds; the
-propagation loop below is the right trade for the near-dup workload.
+Algorithm: hash-min label propagation with FRONTIER PRUNING and POINTER
+JUMPING. Every node starts labeled with its own id; each round, only the
+nodes whose label changed last round (the frontier) announce their label
+to neighbors, and every node additionally contracts its label by one
+pointer hop (comp <- comp(comp), i.e. path-halving). Plain hash-min needs
+diameter-many rounds; the pointer-jumping step makes label trees halve in
+height each round, so convergence is O(log diameter) — a 1000-node path
+graph closes in ~12 rounds instead of 1000 (property-tested). This is the
+same asymptotics as the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) with a simpler
+per-round plan: two narrow joins instead of two re-emitted edge sets.
+
+Frontier correctness: the component minimum's own label never changes, so
+it announces exactly once (round 1, when every node is in the frontier);
+any node whose label later drops re-enters the frontier and re-announces.
+At a fixed point every undirected edge has seen its endpoint's final
+label, forcing labels constant per component and equal to the component
+min (labels are always ids of reachable nodes and only decrease).
 
 Scale notes (100 TB / 10^9-node pair graphs):
-- each round shuffles only (long, long) label/edge rows — the narrowest
-  rows in the engine — and the symmetrized edge frame is checkpointed
-  once up front;
-- `localCheckpoint` (executor-memory/disk, no lineage) truncates the plan
-  each round — without it iteration k replays all k-1 prior shuffles and
-  the job goes quadratic (the classic iterative-DataFrame trap);
-- convergence is detected with one tiny count per round (changed-label
-  count), the SURVEY-sanctioned driver-side aggregate-flag pattern.
+- each round shuffles only (long, long) label rows — the narrowest rows
+  in the engine — and the symmetrized edge frame is checkpointed once up
+  front. The edge set is joined against the FRONTIER, not the full label
+  table: once the bulk of the graph converges the frontier shrinks below
+  the broadcast threshold and late rounds stop shuffling edges at all
+  (AQE picks the broadcast build side at runtime);
+- `localCheckpoint(eager=False)` truncates lineage each round — without
+  it iteration k replays all k-1 prior shuffles and the job goes
+  quadratic (the classic iterative-DataFrame trap). The lazy checkpoint
+  is materialized BY the convergence count, so each round runs exactly
+  ONE Spark job (the eager-checkpoint + separate-count pattern ran two).
 """
 
 from __future__ import annotations
@@ -39,44 +50,64 @@ def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Return (id, component) for every node appearing in ``edges``;
     ``component`` is the MIN node id reachable from ``id`` (deterministic
     canonical label). Edges are treated as undirected; isolated nodes
-    don't appear (callers union them in as singletons if needed)."""
+    don't appear (callers union them in as singletons if needed).
+
+    ``max_iter`` bounds rounds; with pointer jumping the requirement is
+    O(log2(diameter)), so 50 covers any physically storable graph — the
+    terminal raise is a safety net, not an expected path."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
-    # self-loops make "min over neighbors" include the node's own label
-    # without a second join against the label frame
-    nodes = sym.select(F.col("u").alias("u")).distinct()
-    sym = sym.union(nodes.select("u", F.col("u").alias("v"))).localCheckpoint()
+    nodes = sym.select("u").distinct()
 
     labels = nodes.select("u", F.col("u").alias("comp")).localCheckpoint()
+    frontier = labels  # round 1: every node announces its own id
     for _ in range(max_iter):
-        # neighbor labels: edge (u, v) carries comp(u) to v
+        # 1) frontier nodes push their (new) label to their neighbors
         prop = (
-            sym.join(labels, "u")
+            sym.join(frontier, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.min("comp").alias("new_comp"))
         )
-        nxt = (
-            labels.join(prop, "u")
-            .select("u", F.least("comp", "new_comp").alias("comp"),
-                    (F.col("new_comp") < F.col("comp")).alias("__chg"))
+        # 2) merge: least(own, best neighbor offer) — left join because
+        #    nodes off the frontier's neighborhood receive no offer
+        merged = labels.join(prop, "u", "left").select(
+            "u",
+            "comp",
+            F.least("comp", F.coalesce("new_comp", "comp")).alias("c1"),
         )
-        nxt = nxt.localCheckpoint()  # truncate lineage: one shuffle per round
-        changed = nxt.where("__chg").limit(1).count()
+        # 3) pointer jump: c1 is always some node's id, so contract one
+        #    hop through the CURRENT label table (path halving)
+        parent = labels.select(
+            F.col("u").alias("c1"), F.col("comp").alias("pcomp")
+        )
+        nxt = merged.join(parent, "c1", "left").select(
+            "u",
+            F.least("c1", F.coalesce("pcomp", "c1")).alias("comp"),
+            (F.least("c1", F.coalesce("pcomp", "c1")) < F.col("comp")).alias(
+                "__chg"
+            ),
+        )
+        # lazy checkpoint: the count below materializes every partition
+        # (and caches it), so the round costs ONE job, not two
+        nxt = nxt.localCheckpoint(eager=False)
+        changed = nxt.where("__chg").count()
         labels = nxt.drop("__chg")
+        frontier = nxt.where("__chg").drop("__chg")
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(pathological diameter — use large-star/small-star)"
+            "(should be impossible: pointer jumping needs O(log diameter))"
         )
     return labels.select(F.col("u").alias("id"), "comp")
 

@@ -91,25 +91,35 @@ def ivf_assign(
     emb: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine): broadcast the
-    tiny centroid table, score every (vector, centroid) pair, keep the
-    argmax via max(struct(score, -cid)). One broadcast join + one partial
-    aggregate — no all-literal when-chain (which blows up Catalyst's
-    expression tree at C x dim literals)."""
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
-        "centroid_id int, cvec array<double>",
-    )
+    """Assign each vector to its nearest centroid (cosine) in ONE
+    projection: the centroid table ships as an array<struct> literal in
+    the plan (it is tiny — C rows), each row scores it with
+    transform(...) and takes array_max of (score, cid) structs.
+
+    Rows stay N throughout — the previous implementation cross-joined the
+    broadcast centroid table (N x C intermediate rows) and re-aggregated
+    the argmax with a groupBy, i.e. a C-fold row inflation plus a full
+    hash shuffle of the table for work that is per-row. array_max on
+    (score, cid) structs keeps the exact tie-break of the old
+    max(struct(score, cid)) aggregate: highest score, then highest cid.
+    The per-element lambda keeps codegen size O(1) regardless of C x dim
+    (an all-literal when-chain blows up Catalyst's expression tree)."""
     v = F.col(emb).cast("array<double>")
-    score = _dot(v, F.col("cvec")) / (_norm(v) * _norm(F.col("cvec")))
-    scored = df.join(F.broadcast(cdf)).withColumn("__score", score)
-    other = [c for c in df.columns if c != id_col]
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("__score"), F.col("centroid_id"))).alias("__b"),
-        *[F.first(c).alias(c) for c in other],
+    carr = F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("int").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+        )
+        for cid, vec in centroids
+    ])
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            (_dot(v, c["cvec"]) / (_norm(v) * _norm(c["cvec"]))).alias("s"),
+            c["cid"].alias("cid"),
+        ),
     )
-    return best.withColumn("centroid_id", F.col("__b.centroid_id")).drop("__b")
+    return df.withColumn("centroid_id", F.array_max(scored)["cid"])
 
 
 def ivf_topk(

@@ -6,18 +6,22 @@ the file exists (/root/reference/utils/analysis.py:160-163, 287-296;
 get_features.py:47-48). This module is that semantics made transactional
 for a Spark pipeline:
 
-- a **stage** = (name, fn: DataFrame plan) writing one Parquet table (the
-  Iceberg analog in this sandbox; an Iceberg writer would swap in at
-  ``_commit`` — snapshot-exists == our _SUCCESS sentinel);
+- a **stage** = (name, fn: DataFrame plan) writing one table through a
+  ``TableIO`` implementation — ``ParquetTableIO`` (the sandbox default:
+  path + _SUCCESS sentinel) or ``IcebergTableIO`` (catalog identifiers,
+  snapshot commits; requires the iceberg-spark-runtime jar, which this
+  sandbox does not ship — the implementation is import-guarded and its
+  Pipeline integration is pinned by a test double);
 - re-running a pipeline skips stages whose output table already committed
-  (load-if-exists), so a killed job resumes at the first missing stage;
+  (load-if-exists / snapshot-exists), so a killed job resumes at the
+  first missing stage;
 - every commit appends one **ledger** row per partition: stage, partition
   id, row count, min/max event time, a value checksum — the north_rule's
   "per-partition lineage rows ... metrics emitted to a ledger table".
 
-The ledger is itself a Parquet table; checksums are order-insensitive
-(sum of per-row xxhash-style int64 hashes) so they are stable across
-shuffle nondeterminism.
+The ledger is itself a table through the same TableIO; checksums are
+order-insensitive (sum of per-row xxhash-style int64 hashes) so they are
+stable across shuffle nondeterminism.
 """
 
 from __future__ import annotations
@@ -37,6 +41,108 @@ def _success(path: str) -> str:
 
 def table_exists(path: str) -> bool:
     return os.path.exists(_success(path))
+
+
+class TableIO:
+    """Table-format seam: how a pipeline stage names, commits, tests and
+    re-reads one table. Implementations must make ``write`` atomic-enough
+    that ``exists`` only turns true once the table is fully committed
+    (Parquet: the _SUCCESS sentinel; Iceberg: the snapshot commit)."""
+
+    def locate(self, root: str, name: str) -> str:
+        """Map (pipeline root, stage name) to this format's table locator
+        (a filesystem path, a catalog identifier, ...)."""
+        raise NotImplementedError
+
+    def prepare_root(self, root: str) -> None:
+        """One-time setup for a pipeline root (default: nothing)."""
+
+    def exists(self, spark: SparkSession, loc: str) -> bool:
+        raise NotImplementedError
+
+    def write(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
+        """Commit ``df`` as the table's new contents (overwrite)."""
+        raise NotImplementedError
+
+    def append(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, loc: str) -> DataFrame:
+        raise NotImplementedError
+
+    def metrics_sink(self, root: str) -> str | None:
+        """Driver-local jsonl path for run metrics, or None to skip."""
+        return None
+
+
+class ParquetTableIO(TableIO):
+    """Sandbox default: one Parquet directory per stage under ``root``;
+    committed == Spark's _SUCCESS sentinel exists."""
+
+    def locate(self, root: str, name: str) -> str:
+        return os.path.join(root, name)
+
+    def prepare_root(self, root: str) -> None:
+        os.makedirs(root, exist_ok=True)
+
+    def exists(self, spark: SparkSession, loc: str) -> bool:
+        return table_exists(loc)
+
+    def write(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
+        df.write.mode("overwrite").parquet(loc)
+
+    def append(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
+        df.write.mode("append").parquet(loc)
+
+    def read(self, spark: SparkSession, loc: str) -> DataFrame:
+        return spark.read.parquet(loc)
+
+    def metrics_sink(self, root: str) -> str | None:
+        return os.path.join(root, "_metrics.jsonl")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime jar is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — Py4J raises several wrapper types
+        return False
+
+
+class IcebergTableIO(TableIO):
+    """Iceberg-backed stages: ``root`` is a catalog namespace (e.g.
+    ``lake.db``), each stage one table in it; committed == the table has a
+    snapshot. Requires a configured Iceberg catalog + runtime jar
+    (``iceberg_available``) — construction fails loudly without it so a
+    misconfigured cluster can't silently fall back to a weaker format."""
+
+    def __init__(self, spark: SparkSession):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergTableIO needs the iceberg-spark-runtime jar and a "
+                "configured catalog (spark.sql.catalog.<name>=...)"
+            )
+
+    def locate(self, root: str, name: str) -> str:
+        return f"{root}.{name.strip('_')}"
+
+    def exists(self, spark: SparkSession, loc: str) -> bool:
+        return spark.catalog.tableExists(loc)
+
+    def write(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
+        df.writeTo(loc).using("iceberg").createOrReplace()
+
+    def append(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
+        if self.exists(spark, loc):
+            df.writeTo(loc).append()
+        else:
+            df.writeTo(loc).using("iceberg").create()
+
+    def read(self, spark: SparkSession, loc: str) -> DataFrame:
+        return spark.read.table(loc)
 
 
 def _lineage_rows(df: DataFrame, stage: str, ts_col: str | None) -> DataFrame:
@@ -76,15 +182,16 @@ class Pipeline:
     table exists the plan function is never invoked (resume path).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, io: TableIO | None = None):
         self.spark = spark
         self.root = root
-        self.ledger_path = os.path.join(root, "_ledger")
-        self.metrics_path = os.path.join(root, "_metrics.jsonl")
-        os.makedirs(root, exist_ok=True)
+        self.io = io or ParquetTableIO()
+        self.ledger_path = self.io.locate(root, "_ledger")
+        self.metrics_path = self.io.metrics_sink(root)
+        self.io.prepare_root(root)
 
     def _table(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return self.io.locate(self.root, name)
 
     def stage(
         self,
@@ -93,27 +200,29 @@ class Pipeline:
         ts_col: str | None = None,
         repartition: int | None = None,
     ) -> DataFrame:
-        path = self._table(name)
-        if table_exists(path):
+        loc = self._table(name)
+        if self.io.exists(self.spark, loc):
             self._emit_metric(name, "skipped_existing", 0.0, None)
-            return self.spark.read.parquet(path)
+            return self.io.read(self.spark, loc)
         t0 = time.monotonic()
         df = fn()
         if repartition:
             df = df.repartition(repartition)
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        self.io.write(self.spark, df, loc)
+        out = self.io.read(self.spark, loc)
         lineage = _lineage_rows(out, name, ts_col)
-        lineage.write.mode("append").parquet(self.ledger_path)
+        self.io.append(self.spark, lineage, self.ledger_path)
         n = out.count()
         self._emit_metric(name, "committed", time.monotonic() - t0, n)
         return out
 
     def _emit_metric(self, stage: str, status: str, secs: float, rows: int | None):
+        if self.metrics_path is None:
+            return
         rec = {"stage": stage, "status": status, "secs": round(secs, 3),
                "rows": rows, "wall": time.time()}
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
     def ledger(self) -> DataFrame:
-        return self.spark.read.parquet(self.ledger_path)
+        return self.io.read(self.spark, self.ledger_path)

@@ -226,8 +226,9 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive cluster closure of the MinHash near-dup pairs
-    (operators/graph.connected_components, hash-min label propagation with
-    per-round lineage checkpoints): (doc_id, canonical_id) where
+    (operators/graph.connected_components, frontier-pruned hash-min label
+    propagation with pointer jumping + per-round lineage checkpoints):
+    (doc_id, canonical_id) where
     canonical_id = min doc id of the doc's cluster. The oracle closes the
     SAME hash-verified edge set with a DuckDB recursive CTE — the closure
     of an exact set is unique, so the iterative Spark path must match it

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from feature_engineering_spark.functions.text import lang_id, quality_score  # noqa: E402
 from feature_engineering_spark.operators.dedup import (  # noqa: E402
     dedup_exact,
-    minhash_lsh_dedup,
+    minhash_lsh_dedup_parts,
 )
 from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
 from feature_engineering_spark.session import get_spark  # noqa: E402
@@ -47,16 +47,25 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.4,
         # dup layer so the dedup stages demonstrably remove rows: ~5% exact
         # copies and ~5% near-copies (one appended token)
         frac = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(100))
-        exact_copies = df.where(frac < 5)
-        near_copies = df.where((frac >= 5) & (frac < 10)).withColumn(
-            "text", F.concat(F.col("text"), F.lit(" zz"))
+        base = df.withColumn("__dup_layer", F.lit(0))
+        exact_copies = df.where(frac < 5).withColumn("__dup_layer", F.lit(1))
+        near_copies = (
+            df.where((frac >= 5) & (frac < 10))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+            .withColumn("__dup_layer", F.lit(2))
         )
-        df = df.unionByName(exact_copies).unionByName(near_copies)
-        # unique doc id (frozen by the stage's parquet commit, so resume
-        # sees identical ids) + ingest hash for the byte-identity audit
+        df = base.unionByName(exact_copies).unionByName(near_copies)
+        # doc_id is a pure function of CONTENT (url, ts, text, dup layer) —
+        # same convention as the flagship job's xxhash64 surrogate keys
+        # (jobs/extract_features.py). The dedup survivor is "min doc_id per
+        # cluster", so a partition-layout-dependent id (the old
+        # monotonically_increasing_id) made two fresh runs at different
+        # parallelism keep DIFFERENT physical rows; content-derived ids
+        # make the survivor set a pure function of the corpus
+        # (tests/test_checkpoint.py pins this).
         return df.withColumn(
-            "doc_id", F.monotonically_increasing_id()
-        ).withColumn("ingest_sha", F.sha2("text", 256))
+            "doc_id", F.xxhash64("url", "warc_ts", "text", "__dup_layer")
+        ).drop("__dup_layer").withColumn("ingest_sha", F.sha2("text", 256))
 
     pages = p.stage("pages", load_pages, ts_col="warc_ts")
     n0 = pages.count()
@@ -84,12 +93,15 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.4,
     exact = p.stage("exact_dedup", build_exact, ts_col="warc_ts")
     n2 = exact.count()
 
+    lsh_parts: dict = {}
+
     def build_neardup():
         from feature_engineering_spark.operators.graph import dedup_keep_canonical
 
-        pairs = minhash_lsh_dedup(
+        pairs, banded, shingles = minhash_lsh_dedup_parts(
             exact, text="text", id_col="doc_id", threshold=jaccard
         )
+        lsh_parts.update(banded=banded, shingles=shingles)
         # transitive cluster closure, ONE survivor (min id) per cluster —
         # pairwise greatest(a,b) dropping under-deletes on chains (pairs
         # (A,C),(B,C) would keep both A and B despite sharing a cluster)
@@ -106,9 +118,21 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.4,
         minhash_banded,
     )
 
-    drop_row = lsh_dropped_bucket_stats(
-        minhash_banded(exact, text="text", id_col="doc_id"), max_bucket_size=64
-    ).collect()[0]
+    if lsh_parts:
+        # fresh run: audit the banding the dedup ACTUALLY used (reads the
+        # still-persisted shingles — no second tokenization pass), then
+        # release the shingle cache now that the stage is committed
+        drop_row = lsh_dropped_bucket_stats(
+            lsh_parts["banded"], max_bucket_size=64
+        ).collect()[0]
+        lsh_parts["shingles"].unpersist()
+    else:
+        # resume: the neardup stage loaded from its committed table, so no
+        # banding exists in this session — recompute it for the audit row
+        drop_row = lsh_dropped_bucket_stats(
+            minhash_banded(exact, text="text", id_col="doc_id"),
+            max_bucket_size=64,
+        ).collect()[0]
 
     corrupted = clean.where(F.sha2("text", 256) != F.col("ingest_sha")).count()
     stats = {

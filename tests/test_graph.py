@@ -77,6 +77,28 @@ def test_nonconvergence_raises(spark):
         connected_components(df, max_iter=2)
 
 
+def test_pathological_diameter_converges_logarithmically(spark):
+    """Worst-case topology for plain hash-min: a 1000-node path (diameter
+    999). Pointer jumping must close it in O(log n) rounds — max_iter=15
+    (vs the 999 plain propagation would need) both converges and is
+    correct. This is the scenario the round-3 implementation RAISED on."""
+    n = 1000
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_paths_and_blob_mixed(spark):
+    """Mixed topology: two disjoint long chains + one dense blob — labels
+    must not leak across components under frontier pruning + jumping."""
+    edges = [(i, i + 1) for i in range(100, 160)]          # chain A (min 100)
+    edges += [(i, i + 1) for i in range(300, 370)]         # chain B (min 300)
+    edges += [(500 + a, 500 + b) for a in range(8) for b in range(a)]  # blob
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
 def test_dedup_corpus_job_closure(spark, tmp_path):
     """End-to-end corpus job: quality filter -> exact dedup -> MinHash
     pairs -> cluster closure, resumable, byte-identity audited. Survivor
@@ -91,3 +113,28 @@ def test_dedup_corpus_job_closure(spark, tmp_path):
     # reports identical counts
     again = run(spark, str(tmp_path / "dedup_run"), n_rows=4000)
     assert again == stats
+
+
+def test_dedup_corpus_survivors_partitioning_independent(spark, tmp_path):
+    """doc_id is content-derived (xxhash64 of url+ts+text+dup-layer), so
+    the 'min doc_id per cluster' survivor set must be a PURE FUNCTION of
+    the corpus: two FRESH runs at different parallelism keep identical
+    rows. (The mirror image of the resume-identity test above — the old
+    monotonically_increasing_id made survivors depend on partition
+    layout.)"""
+    from jobs.dedup_corpus import run
+
+    survivors = []
+    for parts, root in [("4", "da"), ("13", "db")]:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            out = str(tmp_path / root)
+            run(spark, out, n_rows=2500)
+            rows = spark.read.parquet(f"{out}/neardup_dedup").select(
+                "doc_id", "url", "warc_ts"
+            ).collect()
+            survivors.append({(r["doc_id"], r["url"], str(r["warc_ts"])) for r in rows})
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert survivors[0] == survivors[1]

@@ -149,17 +149,19 @@ def test_media_features_real_pgm_codec(spark):
 
 
 def test_media_features_pgm_rejected_without_flag(spark):
-    """Default mode must NOT silently decode non-FMM1 payloads."""
-    import pytest as _pytest
-
+    """Default mode must NOT silently decode non-FMM1 payloads — a P5 row
+    degrades to a null-feature row (one bad row must never kill the whole
+    mapInPandas stage), while the same payload decodes with the flag on."""
     px = np.zeros(16, dtype=np.uint8)
     df = spark.createDataFrame(
         [(0, "image", _pgm(4, 4, px), None)],
         schema="media_id long, media_type string, payload binary, "
                "meta struct<width:int, height:int, n_frames:int, codec:string>",
     )
-    with _pytest.raises(Exception, match="real codecs|NotImplementedError"):
-        media_features(df, use_real_codecs=False).collect()
+    [row] = media_features(df, use_real_codecs=False).collect()
+    assert row["width"] is None and row["mean_intensity"] is None
+    [row] = media_features(df, use_real_codecs=True).collect()
+    assert (row["width"], row["height"]) == (4, 4)
 
 
 def test_media_metadata_stats_prunes_payload(spark, tmp_path):
@@ -235,3 +237,33 @@ def test_ivf_kmeans_prunes_where_first_c_degenerates(spark):
     # centroids pile most of the table into single buckets
     assert max_bucket(km) <= 150
     assert max_bucket(first_c) >= 2 * max_bucket(km)
+
+
+def test_ivf_assign_no_row_inflation_at_c256(spark):
+    """ivf_assign must be a PROJECTION: N rows in, N rows out, argmax
+    matching numpy, and a physical plan with no join (the old broadcast
+    cross join materialized N x C intermediate rows and re-aggregated —
+    at C=256 a 256-fold inflation plus a full hash shuffle)."""
+    from feature_engineering_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(5)
+    dim, n, c = 8, 200, 256
+    M = rng.normal(size=(n, dim))
+    C = rng.normal(size=(c, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(j, [float(x) for x in C[j]]) for j in range(c)]
+    out = ivf_assign(df, cents)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    cos = (M @ C.T) / (
+        np.linalg.norm(M, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    exp = cos.argmax(axis=1)
+    assert len(got) == n
+    assert all(got[i] == exp[i] for i in range(n))

@@ -135,3 +135,70 @@ def test_window_coverage_property(spark, pages_df):
     overlap = 600.0 / 60.0
     ratio = got["n_points"].sum() / (n_rows * overlap)
     assert 0.9 < ratio < 1.15, ratio
+
+
+def _kernel_fixture(seed=7, keys=(3, 5, 11, 42)):
+    rng = np.random.default_rng(seed)
+    rows, t0 = [], 1_000_000.0
+    for key in keys:  # already sorted, as the shuffle guarantees
+        n = int(rng.integers(30, 120))
+        ts = t0 + np.cumsum(rng.exponential(300.0, n))
+        for t, v in zip(ts, rng.normal(0.0, 1.0, n)):
+            rows.append((key, float(t), float(v)))
+    return pd.DataFrame(rows, columns=["k", "__t", "x"])
+
+
+def _run_mapper(pdf, batch_sizes, bounds_cols=None):
+    from feature_engineering_spark.functions.features import feature_columns
+    from feature_engineering_spark.functions.window_kernel import (
+        make_partition_window_mapper,
+    )
+
+    out_cols = ["k", "win_start", "win_end", "n_points"] + feature_columns("x")
+    mapper = make_partition_window_mapper(
+        "k", ["x"], out_cols, 3600.0, 360.0, 5, True, False,
+        bounds_cols=bounds_cols,
+    )
+    pieces, i = [], 0
+    for s in batch_sizes:
+        pieces.append(pdf.iloc[i : i + s])
+        i += s
+    assert i == len(pdf)
+    outs = list(mapper(iter(pieces)))
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(columns=out_cols)
+
+
+def _awkward_splits(n):
+    """1-row batches, a mid-group cut, an EMPTY batch, small pieces."""
+    sizes = [1, 1, 17, 0]
+    left = n - 19
+    sizes += [23] * (left // 23) + ([left % 23] if left % 23 else [])
+    return sizes
+
+
+def test_kernel_streams_batches_identically():
+    """The streaming mapper (carry-the-open-group) must produce
+    bit-identical output whether a partition arrives as ONE batch or as
+    many arbitrary Arrow slices with groups split mid-batch."""
+    pdf = _kernel_fixture()
+    whole = _run_mapper(pdf, [len(pdf)])
+    split = _run_mapper(pdf, _awkward_splits(len(pdf)))
+    assert len(whole) > 50
+    pd.testing.assert_frame_equal(whole, split)
+
+
+def test_kernel_streams_salted_bounds_identically():
+    """Same property through the salted (bounds_cols) code path: per-group
+    grid bounds are read from the FIRST row of each group, which must
+    survive group-spanning batch boundaries."""
+    pdf = _kernel_fixture(seed=11)
+    pdf["__chunk"] = 0
+    g = pdf.groupby("k")["__t"]
+    step = 360.0
+    pdf["b0"] = np.floor(g.transform("min") / step) * step
+    pdf["b1"] = g.transform("max")
+    pdf["b2"] = 1e9  # one chunk spans the whole key
+    whole = _run_mapper(pdf, [len(pdf)], bounds_cols=("b0", "b1", "b2"))
+    split = _run_mapper(pdf, _awkward_splits(len(pdf)), bounds_cols=("b0", "b1", "b2"))
+    assert len(whole) > 50
+    pd.testing.assert_frame_equal(whole, split)
