@@ -318,6 +318,103 @@ def minhash_lsh_dedup(
     return pairs
 
 
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    corpus_banded: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Incremental near-dup dedup: verified pairs (a, b, jaccard) of a NEW
+    batch against an already-indexed corpus, plus pairs within the batch —
+    the arrival path of a continuously-ingesting training-data pipeline.
+    Cross pairs carry (a = corpus id, b = new id); in-batch pairs a < b.
+    Ids must be globally unique across corpus and batch.
+
+    Only the new batch is tokenized/signed. The corpus contributes
+    ``corpus_banded`` — its committed (id, band, bucket) LSH index
+    (``minhash_banded`` output, persisted as a table by the ingest job;
+    MUST use the same num_hashes/bands/shingle_n) — and its ``corpus``
+    text is re-read only for the candidate ids (semi-join pruned).
+
+    Scale shape (10^12-doc corpus, 10^6-doc batch):
+    - the batch's (band, bucket) probe set BROADCASTS into one scan of
+      the index — the index is never shuffled;
+    - bucket caps mirror minhash_lsh_candidates and are computed on the
+      matched buckets only (a corpus bucket's population within the
+      matched subset equals its full-index population, so this is
+      exactly the full-index cap at a fraction of the cost);
+    - exact-Jaccard verification shingles the batch plus the candidate
+      corpus rows only.
+
+    The batch shingle frame is persisted for reuse across the signature
+    pass and both verify arms; single-consumption callers can leave it to
+    session cleanup (see minhash_lsh_dedup's caching note)."""
+    rows_per_band = num_hashes // bands
+    g_new = new_docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
+    ).persist()
+    sig_new = _signatures_from_shingles(g_new, num_hashes)
+    banded_new = _band_signature(sig_new, bands, rows_per_band)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded_new = (
+            banded_new.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc") <= max_bucket_size)
+            .drop("__bc")
+        )
+
+    # --- cross candidates: probe the committed index with the batch
+    probe = banded_new.select("band", "bucket").distinct()
+    hit = corpus_banded.join(F.broadcast(probe), ["band", "bucket"])
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        hit = (
+            hit.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .where(F.col("__bc") <= max_bucket_size)
+            .drop("__bc")
+        )
+    cross = (
+        hit.select("band", "bucket", F.col("id").alias("a"))
+        .join(
+            banded_new.select("band", "bucket", F.col("id").alias("b")),
+            ["band", "bucket"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+    # --- exact verify: shingle ONLY the candidate corpus rows
+    g_corp = corpus.join(
+        cross.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
+    )
+
+    def _verify(cand: DataFrame, ga: DataFrame, gb: DataFrame) -> DataFrame:
+        j = (
+            cand.join(ga.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+            .join(gb.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+        )
+        inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+        union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return j.select("a", "b", jac.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
+
+    # in-batch pairs: banded_new is already capped, so no second cap pass
+    batch_cand = _candidates_from_banded(banded_new, max_bucket_size=None)
+    return _verify(cross, g_corp, g_new).unionByName(
+        _verify(batch_cand, g_new, g_new)
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text: str = "text",

@@ -332,6 +332,81 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/dedup.minhash_lsh_incremental):
+    the base documents table plays the committed corpus (its LSH banding is
+    the persisted index) and the injected dup layers (+10000 near-copies,
+    +20000 exact copies) play an arriving batch. Only the batch is signed;
+    the corpus index is probed with a broadcast of the batch's buckets and
+    corpus text is re-shingled for candidate ids only. The oracle derives
+    both sides' signatures with the same md5-affine constants and mirrors
+    the per-side bucket caps, the cross probe, and the in-batch self-join."""
+    from feature_engineering_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_incremental,
+    )
+
+    corpus = _docs(spark, sf_dir)
+    d = _docs_with_dupes(spark, sf_dir)
+    batch = d.where(F.col("doc_id") >= 10000)
+    index = minhash_banded(corpus)
+    out = minhash_lsh_incremental(batch, corpus, index, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_MINHASH_INCREMENTAL = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPES}),
+g AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(parts) >= 3 THEN
+           list_distinct([concat(parts[i], ' ', parts[i+1], ' ', parts[i+2])
+                          for i in range(1, len(parts) - 1)])
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM d)
+),
+ex AS (SELECT id, unnest(sh) AS s FROM g),
+hx AS (
+  SELECT id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS x
+  FROM ex
+),
+sig AS (
+  SELECT id,
+         {_MH_MINS}
+  FROM hx GROUP BY id
+),
+bandkey AS (
+  {_MH_BANDKEYS}
+),
+-- corpus side (ids < 10000) and batch side, each capped INDEPENDENTLY at 64
+gc AS (
+  SELECT id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bc
+    FROM bandkey WHERE id < 10000
+  ) WHERE bc <= 64
+),
+gb AS (
+  SELECT id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bc
+    FROM bandkey WHERE id >= 10000
+  ) WHERE bc <= 64
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM gc l JOIN gb r ON l.band = r.band AND l.bucket = r.bucket
+  UNION ALL
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM gb l JOIN gb r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT c.a, c.b,
+       ROUND(len(list_intersect(ga.sh, gb.sh))::DOUBLE
+             / len(list_distinct(ga.sh || gb.sh)), 6) AS jaccard
+FROM cand c JOIN g ga ON ga.id = c.a JOIN g gb ON gb.id = c.b
+WHERE len(list_distinct(ga.sh || gb.sh)) > 0
+  AND len(list_intersect(ga.sh, gb.sh))::DOUBLE
+      / len(list_distinct(ga.sh || gb.sh)) >= 0.5
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -736,6 +811,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "minhash_incremental": q_minhash_incremental,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -756,6 +832,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh_dedup": SQL_MINHASH_LSH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "ann_topk": SQL_ANN_TOPK,

@@ -1,0 +1,208 @@
+"""Continuous-ingest dedup: maintain a deduplicated corpus AND its MinHash
+LSH index across arriving batches — the incremental counterpart of
+jobs/dedup_corpus.py (which re-processes a whole corpus).
+
+Per batch k (all stages checkpointed/resumable through plans/checkpoint):
+
+  1. commit the raw arrivals (``arrivals_k``);
+  2. near-dup the batch against the corpus via the COMMITTED index tables
+     (operators/dedup.minhash_lsh_incremental — only the batch is signed,
+     the corpus index is probed with a broadcast of the batch's buckets);
+  3. close ALL pairs (cross + in-batch) into clusters
+     (operators/graph): a batch doc is dropped if its cluster contains
+     any corpus doc (it duplicates committed data, possibly transitively
+     through another arrival) or if it is not its cluster's minimum
+     batch id (in-batch dup);
+  4. commit the survivors (``survivors_k``) and THEIR banding
+     (``index_k``) so the next batch dedups against them too.
+
+Corpus = corpus_000 ∪ survivors_*; index = index_000 ∪ index_* — on a
+real deployment these are two Iceberg tables the job appends to
+(plans/checkpoint.TableIO); the per-stage parquet tables here are the
+sandbox stand-in with identical resume semantics.
+
+    python jobs/ingest_increment.py --rows 20000 --batches 2 --out /tmp/fes_ingest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from feature_engineering_spark.operators.dedup import (  # noqa: E402
+    minhash_banded,
+    minhash_lsh_incremental,
+)
+from feature_engineering_spark.operators.graph import dedup_clusters  # noqa: E402
+from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
+from feature_engineering_spark.session import get_spark  # noqa: E402
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _with_doc_id(df: DataFrame, layer) -> DataFrame:
+    """Content-derived id (same convention as jobs/dedup_corpus.py): the
+    survivor set stays a pure function of the corpus, independent of
+    partition layout."""
+    return df.withColumn(
+        "doc_id", F.xxhash64("url", "warc_ts", "text", F.lit(layer))
+    )
+
+
+def dedup_batch(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame]:
+    """(survivors, drops) of ``batch`` against the committed corpus/index.
+
+    Drop policy: transitive. All verified pairs — batch↔corpus and
+    batch↔batch — form one graph; a batch doc whose cluster touches the
+    corpus duplicates committed data (possibly through a chain of
+    arrivals) and is dropped; clusters entirely inside the batch keep
+    their minimum doc_id. ``drops`` carries (doc_id, reason)."""
+    pairs = minhash_lsh_incremental(
+        batch, corpus, index, threshold=threshold
+    )
+    clusters = dedup_clusters(pairs)  # (doc_id, canonical_id), all nodes
+    batch_ids = batch.select("doc_id")
+    # clusters containing at least one corpus doc
+    anchored = (
+        clusters.join(batch_ids, "doc_id", "left_anti")
+        .select("canonical_id")
+        .distinct()
+    )
+    bc = clusters.join(batch_ids, "doc_id", "left_semi")
+    drop_vs_corpus = bc.join(anchored, "canonical_id", "left_semi").select(
+        "doc_id", F.lit("corpus_dup").alias("reason")
+    )
+    rest = bc.join(anchored, "canonical_id", "left_anti")
+    keep = rest.groupBy("canonical_id").agg(F.min("doc_id").alias("__keep"))
+    drop_in_batch = (
+        rest.join(keep, "canonical_id")
+        .where(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id", F.lit("batch_dup").alias("reason"))
+    )
+    drops = drop_vs_corpus.unionByName(drop_in_batch)
+    survivors = batch.join(drops.select("doc_id"), "doc_id", "left_anti")
+    return survivors, drops
+
+
+def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
+        threshold: float = 0.6) -> dict:
+    p = Pipeline(spark, out_root)
+
+    def load_pages():
+        from feature_engineering_spark.sources.pages import write_pages_parquet
+
+        path = os.path.join(out_root, "_input", "pages.parquet")
+        if not os.path.exists(path):
+            write_pages_parquet(path, n_rows, seed=42)
+        return spark.read.parquet(path)
+
+    pages = load_pages()
+    slot = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(10))
+
+    # initial corpus: 60% of the fixture, committed once with its banding
+    corpus0 = p.stage(
+        "corpus_000",
+        lambda: _with_doc_id(pages.where(slot < 6), 0),
+        ts_col="warc_ts",
+    )
+    index0 = p.stage(
+        "index_000", lambda: minhash_banded(corpus0), ts_col=None
+    )
+    corpus_parts, index_parts = [corpus0], [index0]
+    stats: dict = {"corpus_initial": corpus0.count(), "batches": []}
+
+    for k in range(1, n_batches + 1):
+        lo, hi = 6 + 2 * (k - 1), 6 + 2 * k  # 20% fresh rows per batch
+
+        def build_arrivals(lo=lo, hi=hi, k=k):
+            fresh = _with_doc_id(
+                pages.where((slot >= lo) & (slot < hi)), 0
+            )
+            # planted dups: exact + near copies of COMMITTED corpus rows,
+            # and an in-batch near-pair, so every drop path is exercised
+            seed = pages.where(slot < 6)
+            cfrac = F.pmod(F.xxhash64("url"), F.lit(100))
+            exact_vs_corpus = _with_doc_id(seed.where(cfrac < 3), 10 + k)
+            near_vs_corpus = _with_doc_id(
+                seed.where((cfrac >= 3) & (cfrac < 6)).withColumn(
+                    "text", F.concat("text", F.lit(" zz"))
+                ),
+                20 + k,
+            )
+            near_in_batch = _with_doc_id(
+                fresh.where(F.pmod(F.xxhash64("url"), F.lit(100)) < 5)
+                .withColumn("text", F.concat("text", F.lit(" qq"))),
+                30 + k,
+            )
+            return (
+                fresh.unionByName(exact_vs_corpus)
+                .unionByName(near_vs_corpus)
+                .unionByName(near_in_batch)
+            )
+
+        arrivals = p.stage(f"arrivals_{k:03d}", build_arrivals, ts_col="warc_ts")
+
+        corpus = _union(corpus_parts)
+        index = _union(index_parts)
+        out: dict = {}
+
+        def build_survivors(arrivals=arrivals, corpus=corpus, index=index,
+                            out=out):
+            survivors, drops = dedup_batch(arrivals, corpus, index, threshold)
+            out["drops"] = drops
+            return survivors
+
+        survivors = p.stage(
+            f"survivors_{k:03d}", build_survivors, ts_col="warc_ts"
+        )
+        index_k = p.stage(
+            f"index_{k:03d}", lambda s=survivors: minhash_banded(s), ts_col=None
+        )
+        corpus_parts.append(survivors)
+        index_parts.append(index_k)
+
+        b = {"batch": k, "arrivals": arrivals.count(),
+             "survivors": survivors.count()}
+        b["dropped_total"] = b["arrivals"] - b["survivors"]
+        if "drops" in out:  # fresh run: reasons are in hand
+            reasons = {
+                r["reason"]: r["count"]
+                for r in out["drops"].groupBy("reason").count().collect()
+            }
+            b["dropped_vs_corpus"] = int(reasons.get("corpus_dup", 0))
+            b["dropped_in_batch"] = int(reasons.get("batch_dup", 0))
+        stats["batches"].append(b)
+
+    stats["corpus_final"] = _union(corpus_parts).count()
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000)
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/fes_ingest")
+    ap.add_argument("--threshold", type=float, default=0.6)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark("ingest_increment", master=args.master)
+    print(json.dumps(run(spark, args.out, args.rows, args.batches,
+                         args.threshold)))
+
+
+if __name__ == "__main__":
+    main()

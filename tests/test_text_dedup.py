@@ -251,3 +251,41 @@ def test_lsh_dropped_bucket_stats_reports_cap(spark):
     assert row["max_bucket_size_seen"] == 200
     quiet = lsh_dropped_bucket_stats(banded, max_bucket_size=500).collect()[0]
     assert quiet["n_dropped_buckets"] == 0 and quiet["n_dropped_rows"] == 0
+
+
+def test_minhash_incremental_matches_full_dedup(spark, near_dup_docs):
+    """Incremental (batch vs committed corpus index + in-batch) must find
+    exactly the pairs the FULL corpus-wide dedup finds, restricted to
+    pairs touching the batch — on fixtures far from the bucket caps the
+    two cap policies (combined vs per-side counts) coincide, so the pair
+    sets and jaccard values are identical. Only the batch is re-signed;
+    corpus text is shingled for candidate ids only."""
+    from feature_engineering_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_incremental,
+    )
+
+    # batch = every doc_id % 3 == 1 (the mutated near-dups), corpus = rest
+    corpus = near_dup_docs.where(F.col("doc_id") % 3 != 1)
+    batch = near_dup_docs.where(F.col("doc_id") % 3 == 1)
+    index = minhash_banded(corpus)
+
+    inc = minhash_lsh_incremental(batch, corpus, index, threshold=0.5)
+    got = {(r["a"], r["b"]): round(r["jaccard"], 9) for r in inc.collect()}
+
+    full = minhash_lsh_dedup(near_dup_docs, threshold=0.5).collect()
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    exp = {}
+    for r in full:
+        a, b = r["a"], r["b"]
+        if a in batch_ids and b in batch_ids:
+            exp[(min(a, b), max(a, b))] = round(r["jaccard"], 9)
+        elif b in batch_ids:
+            exp[(a, b)] = round(r["jaccard"], 9)
+        elif a in batch_ids:
+            exp[(b, a)] = round(r["jaccard"], 9)
+    assert len(got) > 0
+    assert got == exp
+    # every base doc's near-dup is recovered against the corpus
+    cross = {a for (a, b) in got if a not in batch_ids}
+    assert len(cross) >= 8  # 10 mutated docs, LSH recall is high at j~0.93
