@@ -415,6 +415,57 @@ def minhash_lsh_incremental(
     )
 
 
+def dedup_batch_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    corpus_banded: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame]:
+    """(survivors, drops) of an arriving ``batch`` against a committed
+    corpus + its LSH index — the keep/drop policy layered on
+    ``minhash_lsh_incremental``'s verified pairs.
+
+    Drop policy is TRANSITIVE: all pairs (batch↔corpus and batch↔batch)
+    form one graph and close into clusters (operators/graph); a batch doc
+    whose cluster contains any corpus doc duplicates committed data —
+    possibly through a chain of other arrivals — and drops with reason
+    ``corpus_dup``; clusters entirely inside the batch keep their minimum
+    ``id_col`` and drop the rest as ``batch_dup``. Consumed by
+    jobs/ingest_increment.py (checkpointed ingest) and
+    streaming/stream_ops.streaming_neardup_filter (micro-batch lift)."""
+    from feature_engineering_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_incremental(
+        batch, corpus, corpus_banded, text=text, id_col=id_col,
+        threshold=threshold,
+    )
+    clusters = dedup_clusters(pairs)  # (doc_id, canonical_id), all nodes
+    batch_ids = batch.select(F.col(id_col).alias("doc_id"))
+    anchored = (
+        clusters.join(batch_ids, "doc_id", "left_anti")
+        .select("canonical_id")
+        .distinct()
+    )
+    bc = clusters.join(batch_ids, "doc_id", "left_semi")
+    drop_vs_corpus = bc.join(anchored, "canonical_id", "left_semi").select(
+        "doc_id", F.lit("corpus_dup").alias("reason")
+    )
+    rest = bc.join(anchored, "canonical_id", "left_anti")
+    keep = rest.groupBy("canonical_id").agg(F.min("doc_id").alias("__keep"))
+    drop_in_batch = (
+        rest.join(keep, "canonical_id")
+        .where(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id", F.lit("batch_dup").alias("reason"))
+    )
+    drops = drop_vs_corpus.unionByName(drop_in_batch)
+    survivors = batch.join(
+        drops.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    return survivors, drops
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text: str = "text",

@@ -154,6 +154,48 @@ def streaming_asof_enrich(
     return for_each_batch
 
 
+def streaming_neardup_filter(
+    stream: DataFrame,
+    corpus: DataFrame,
+    corpus_banded: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+):
+    """Streaming face of the incremental near-dup dedup: each micro-batch
+    is deduped against the committed corpus LSH index — and within itself
+    — by the SAME batch operator (operators/dedup.dedup_batch_against_
+    corpus), so semantics (verified Jaccard, transitive cluster closure,
+    corpus-anchored drops) are identical to the batch ingest job.
+
+    Like streaming_asof_enrich, this returns a factory for
+    ``writeStream.foreachBatch``: ``for_each_batch(sink_fn)`` where
+    ``sink_fn(survivors_df, drops_df, batch_id)`` receives the kept rows
+    and the (doc_id, reason) drop list per micro-batch. The sink is the
+    natural place to append survivors + their banding to the corpus/index
+    tables (jobs/ingest_increment.py does exactly that per batch).
+
+    Cross-micro-batch dups: a doc can only near-dup an EARLIER micro-batch
+    if the sink committed that batch's survivors to the index the next
+    probe reads — the same contract as the batch ingest job; within a
+    micro-batch the in-batch self-join catches everything."""
+    from feature_engineering_spark.operators.dedup import (
+        dedup_batch_against_corpus,
+    )
+
+    def for_each_batch(sink_fn):
+        def fn(batch_df: DataFrame, batch_id: int):
+            survivors, drops = dedup_batch_against_corpus(
+                batch_df, corpus, corpus_banded, text=text, id_col=id_col,
+                threshold=threshold,
+            )
+            sink_fn(survivors, drops, batch_id)
+
+        return fn
+
+    return for_each_batch
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text: str = "text",

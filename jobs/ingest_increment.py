@@ -37,10 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from feature_engineering_spark.operators.dedup import (  # noqa: E402
+    dedup_batch_against_corpus as dedup_batch,
     minhash_banded,
-    minhash_lsh_incremental,
 )
-from feature_engineering_spark.operators.graph import dedup_clusters  # noqa: E402
 from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
 from feature_engineering_spark.session import get_spark  # noqa: E402
 
@@ -56,46 +55,6 @@ def _with_doc_id(df: DataFrame, layer) -> DataFrame:
     return df.withColumn(
         "doc_id", F.xxhash64("url", "warc_ts", "text", F.lit(layer))
     )
-
-
-def dedup_batch(
-    batch: DataFrame,
-    corpus: DataFrame,
-    index: DataFrame,
-    threshold: float = 0.6,
-) -> tuple[DataFrame, DataFrame]:
-    """(survivors, drops) of ``batch`` against the committed corpus/index.
-
-    Drop policy: transitive. All verified pairs — batch↔corpus and
-    batch↔batch — form one graph; a batch doc whose cluster touches the
-    corpus duplicates committed data (possibly through a chain of
-    arrivals) and is dropped; clusters entirely inside the batch keep
-    their minimum doc_id. ``drops`` carries (doc_id, reason)."""
-    pairs = minhash_lsh_incremental(
-        batch, corpus, index, threshold=threshold
-    )
-    clusters = dedup_clusters(pairs)  # (doc_id, canonical_id), all nodes
-    batch_ids = batch.select("doc_id")
-    # clusters containing at least one corpus doc
-    anchored = (
-        clusters.join(batch_ids, "doc_id", "left_anti")
-        .select("canonical_id")
-        .distinct()
-    )
-    bc = clusters.join(batch_ids, "doc_id", "left_semi")
-    drop_vs_corpus = bc.join(anchored, "canonical_id", "left_semi").select(
-        "doc_id", F.lit("corpus_dup").alias("reason")
-    )
-    rest = bc.join(anchored, "canonical_id", "left_anti")
-    keep = rest.groupBy("canonical_id").agg(F.min("doc_id").alias("__keep"))
-    drop_in_batch = (
-        rest.join(keep, "canonical_id")
-        .where(F.col("doc_id") != F.col("__keep"))
-        .select("doc_id", F.lit("batch_dup").alias("reason"))
-    )
-    drops = drop_vs_corpus.unionByName(drop_in_batch)
-    survivors = batch.join(drops.select("doc_id"), "doc_id", "left_anti")
-    return survivors, drops
 
 
 def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
@@ -162,7 +121,9 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
 
         def build_survivors(arrivals=arrivals, corpus=corpus, index=index,
                             out=out):
-            survivors, drops = dedup_batch(arrivals, corpus, index, threshold)
+            survivors, drops = dedup_batch(
+                arrivals, corpus, index, threshold=threshold
+            )
             out["drops"] = drops
             return survivors
 

@@ -189,3 +189,48 @@ def test_streaming_exact_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT text FROM dedup_sink").toPandas()
     assert sorted(got["text"]) == ["aa", "bb", "cc"]
+
+
+def test_streaming_neardup_filter(spark, tmp_path):
+    """A micro-batch streamed through the near-dup filter must keep/drop
+    exactly what the batch dedup-against-corpus operator decides: corpus
+    near-dups drop with reason corpus_dup, in-batch copies keep one
+    survivor, fresh docs pass."""
+    import pandas as pd
+
+    from feature_engineering_spark.operators.dedup import minhash_banded
+    from feature_engineering_spark.streaming.stream_ops import (
+        streaming_neardup_filter,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    t_corp = " ".join(vocab)
+    t_fresh = " ".join(reversed(vocab[:15])) + " x1 x2 x3 x4 x5 x6 x7 x8 x9 y1 y2 y3 y4 y5 y6"
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [t_corp]})
+    )
+    index = minhash_banded(corpus)
+
+    batch = pd.DataFrame({
+        "doc_id": [100, 101, 102, 103],
+        "text": [t_corp + " zz",      # near-dup of corpus -> corpus_dup
+                 t_fresh,             # fresh -> survives
+                 t_fresh + " qq",     # in-batch near-dup of 101 -> batch_dup
+                 " ".join(vocab[::2]) + " z9 z8 z7 z6 z5 z4 z3 z2 z1 a b c d e f"],
+    })
+    src = str(tmp_path / "nd_src")
+    spark.createDataFrame(batch).repartition(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    kept, dropped = [], []
+    feb = streaming_neardup_filter(stream, corpus, index, threshold=0.5)(
+        lambda s, d, bid: (kept.append(s.toPandas()), dropped.append(d.toPandas()))
+    )
+    q = stream.writeStream.foreachBatch(feb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    kept_ids = set(pd.concat(kept)["doc_id"])
+    drops = {r.doc_id: r.reason for r in pd.concat(dropped).itertuples()}
+    assert drops[100] == "corpus_dup"
+    assert drops[102] == "batch_dup"
+    assert kept_ids == {101, 103}

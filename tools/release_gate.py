@@ -44,7 +44,7 @@ def main() -> None:
     report: dict = {}
 
     rc, out, err, secs = _run([sys.executable, "tools/driver_sim.py"], 3600)
-    n_match = out.count('"MATCH"')
+    n_match = out.count('"match": true')
     report["driver_sim"] = {"pass": rc == 0, "queries_match": n_match,
                            "secs": secs}
 

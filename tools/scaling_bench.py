@@ -109,23 +109,38 @@ def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 1200.0) -> float:
         time.sleep(20)
 
 
+_MEASURED_MODULES = [
+    "session.py",
+    "operators/asof.py",
+    "operators/sessionize.py",
+    "operators/skew.py",
+    "operators/windows.py",
+    "operators/keys.py",
+    "functions/window_kernel.py",
+    "functions/features.py",
+    "functions/timeutil.py",
+    "sources/pages.py",
+]
+
+
 def code_sha() -> str:
-    """Generation id of the MEASURED code: last commit touching the engine
-    package + a hash of the CHILD pipeline template in this file.
+    """Generation id of the MEASURED code: a content hash of the modules
+    the CHILD pipeline actually imports, plus the CHILD template itself.
     Attempts are only comparable (CPU-seconds for 'identical work') within
-    one generation; tooling-only commits must not split one."""
+    one generation. Content-based (not last-engine-commit) so commits to
+    engine modules the pipeline never touches (dedup, similarity, ...)
+    don't split one generation; the round-4 git-based tag did exactly
+    that."""
     import hashlib
 
-    child = hashlib.md5(CHILD.encode()).hexdigest()[:6]
-    try:
-        out = subprocess.run(
-            ["git", "-C", REPO, "log", "-1", "--format=%h", "--",
-             "feature_engineering_spark"],
-            capture_output=True, text=True, timeout=10)
-        eng = out.stdout.strip() or "unknown"
-    except OSError:
-        eng = "unknown"
-    return f"{eng}+{child}"
+    h = hashlib.md5(CHILD.encode())
+    for rel in _MEASURED_MODULES:
+        p = os.path.join(REPO, "feature_engineering_spark", rel)
+        try:
+            h.update(open(p, "rb").read())
+        except OSError:
+            h.update(rel.encode())
+    return f"gen@{h.hexdigest()[:10]}"
 
 
 def measure(cpus: int, pages: str, labels: str, rows: int) -> dict:

@@ -102,21 +102,48 @@ def render(rows: int) -> None:
             f"{a['tn'].get('child_cpu_s','-')} | {a['t4n'].get('child_cpu_s','-')} | "
             f"{a['noise']:.1f} |"
         )
+    # Cross-reference efficiency: each point's best observation (max
+    # docs/s among attempts whose CPU is within 3% of that point's
+    # minimum-CPU reference = effectively undisturbed) — reported next
+    # to the cleanest ATTEMPT because a single attempt can pair one
+    # clean point with one disturbed point and fake its ratio up OR down.
+    best_clean: dict[int, float] = {}
+    for a in attempts:
+        for cpus_key, part in ((a["n"], a["tn"]), (4 * a["n"], a["t4n"])):
+            c = part.get("child_cpu_s")
+            ref = min(
+                (x["tn"].get("child_cpu_s") or 1e18) if x["n"] == cpus_key
+                else (x["t4n"].get("child_cpu_s") or 1e18)
+                for x in attempts
+                if x["n"] == cpus_key or 4 * x["n"] == cpus_key
+            )
+            if c and c <= ref * 1.03:
+                best_clean[cpus_key] = max(
+                    best_clean.get(cpus_key, 0.0), part["docs_per_sec"]
+                )
+    lines += ["", "Cross-reference check (per-point cleanest observations,"]
+    lines += ["CPU within 3% of that point's minimum):", ""]
+    for n in sorted(best):
+        if n in best_clean and 4 * n in best_clean:
+            xeff = best_clean[4 * n] / (4 * best_clean[n])
+            lines.append(
+                f"- ({n},{4*n}): {best_clean[n]:.0f} -> {best_clean[4*n]:.0f}"
+                f" docs/s = **{xeff:.3f}**"
+            )
     lines += [
-        "\n## Why many threads on ONE socket can't show 4x (measured)\n",
-        "Per-core cost is flat (12-15k docs/CPU-s at 2-8 threads, the job",
-        "keeps N cores 100% busy, zero idle) until the socket's memory",
-        "bandwidth saturates at ~105k docs/s total — reached at 16 threads;",
-        "32 threads go BACKWARD. Round 1's ~25% slower code hit the SAME",
-        "ceiling: it belongs to the socket, not the code, and faster code",
-        "only moves the saturation point to fewer threads. A cache-resident",
-        "control (32 parallel python integer loops) scales perfectly on",
-        "this host; the pipeline's extra CPU-seconds at high thread counts",
-        "are DRAM-stall cycles. A real 4N-EXECUTOR cluster multiplies",
-        "exactly this resource by adding sockets; the only cross-executor",
+        "\nWhen the two numbers disagree, the cross-reference is the more",
+        "conservative estimate: a single attempt can pair one clean point",
+        "with one disturbed point and bias its ratio either way.\n",
+        "## Where the bandwidth wall sits now (round 4)\n",
+        "Streaming the window kernel (BENCH/ANALYSIS.md) removed the",
+        "partition-sized copies that earlier rounds mistook for a ~105k",
+        "docs/s socket ceiling: round-4 code reaches ~170k docs/s at 8",
+        "threads. Per-CPU cost is flat from 1 to 4 threads (within ~2%),",
+        "then DRAM contention begins to bite at 8 — the same shape as",
+        "before, one octave higher. A real 4N-EXECUTOR cluster multiplies",
+        "the bound resource by adding sockets; the only cross-executor",
         "traffic is the slimmed shuffles (8-byte surrogate keys,",
-        "struct-packed payloads, map-side-combined aggs). Full derivation:",
-        "BENCH/ANALYSIS.md.\n",
+        "struct-packed payloads, map-side-combined aggs).\n",
         "## All attempts\n",
         "| pair | T(N) | T(4N) | efficiency | ambient load | code |",
         "|---|---|---|---|---|---|",
