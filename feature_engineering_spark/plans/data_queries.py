@@ -407,6 +407,51 @@ WHERE len(list_distinct(ga.sh || gb.sh)) > 0
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report (operators/contamination): docs of
+    the dup-injected corpus sharing >= 2 distinct word 3-grams with a
+    5-doc probe set (the probe docs themselves, their injected exact and
+    near copies, plus any boilerplate overlap). Probe n-grams broadcast;
+    only hit rows shuffle. Oracle mirrors the same single-space word
+    3-gram construction in DuckDB."""
+    from feature_engineering_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    d = _docs_with_dupes(spark, sf_dir)
+    probes = _docs(spark, sf_dir).where(F.col("doc_id") < 5)
+    return contamination_report(d, probes, n=3, min_hits=2)
+
+
+SQL_CONTAMINATION = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPES}),
+probes AS (SELECT * FROM documents WHERE doc_id < 5),
+pg AS (
+  SELECT DISTINCT unnest(sh) AS ngram FROM (
+    SELECT CASE WHEN len(parts) >= 3 THEN
+             list_distinct([concat(parts[i], ' ', parts[i+1], ' ', parts[i+2])
+                            for i in range(1, len(parts) - 1)])
+           ELSE [] END AS sh
+    FROM (SELECT string_split(text, ' ') AS parts FROM probes)
+  )
+),
+dg AS (
+  SELECT doc_id, unnest(sh) AS ngram FROM (
+    SELECT doc_id,
+           CASE WHEN len(parts) >= 3 THEN
+             list_distinct([concat(parts[i], ' ', parts[i+1], ' ', parts[i+2])
+                            for i in range(1, len(parts) - 1)])
+           ELSE [] END AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM d)
+  )
+)
+SELECT dg.doc_id, COUNT(DISTINCT dg.ngram) AS n_hits, MIN(dg.ngram) AS first_hit
+FROM dg JOIN pg USING (ngram)
+GROUP BY dg.doc_id
+HAVING COUNT(DISTINCT dg.ngram) >= 2
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -812,6 +857,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_clusters": q_dedup_clusters,
     "minhash_incremental": q_minhash_incremental,
+    "contamination": q_contamination,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -833,6 +879,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_dedup": SQL_MINHASH_LSH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
+    "contamination": SQL_CONTAMINATION,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "ann_topk": SQL_ANN_TOPK,

@@ -289,3 +289,43 @@ def test_minhash_incremental_matches_full_dedup(spark, near_dup_docs):
     # every base doc's near-dup is recovered against the corpus
     cross = {a for (a, b) in got if a not in batch_ids}
     assert len(cross) >= 8  # 10 mutated docs, LSH recall is high at j~0.93
+
+
+def test_contamination_report_and_decontaminate(spark):
+    """Docs sharing >=min_hits word n-grams with the probe set are
+    reported with exact hit counts; decontaminate drops exactly those;
+    the probe side is broadcast (no shuffle of the corpus expansion)."""
+    from feature_engineering_spark.operators.contamination import (
+        contamination_report,
+        decontaminate,
+    )
+
+    probes = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # 3 probe 3-grams
+            (11, "x y alpha beta gamma z"),               # exactly 1
+            (12, "unrelated words only here today"),      # 0
+            (13, "beta gamma delta epsilon q"),           # 2
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: (r["n_hits"], r["first_hit"])
+           for r in contamination_report(docs, probes, min_hits=1).collect()}
+    assert rep[10] == (3, "alpha beta gamma")
+    assert rep[11] == (1, "alpha beta gamma")
+    assert rep[13] == (2, "beta gamma delta")
+    assert 12 not in rep
+
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, probes, min_hits=2).collect()
+    )
+    assert kept == [11, 12]  # 10 and 13 hit >= 2 probe n-grams
+
+    plan = (
+        contamination_report(docs, probes)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
