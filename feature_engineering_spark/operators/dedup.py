@@ -329,6 +329,7 @@ def minhash_lsh_incremental(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int | None = 64,
+    intermediates: dict | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: verified pairs (a, b, jaccard) of a NEW
     batch against an already-indexed corpus, plus pairs within the batch —
@@ -354,13 +355,21 @@ def minhash_lsh_incremental(
 
     The batch shingle frame is persisted for reuse across the signature
     pass and both verify arms; single-consumption callers can leave it to
-    session cleanup (see minhash_lsh_dedup's caching note)."""
+    session cleanup (see minhash_lsh_dedup's caching note).
+
+    ``intermediates``: optional dict the operator fills with
+    ``banded_new`` (the batch banding BEFORE its cap) and ``hit`` (the
+    matched corpus index rows BEFORE their cap) so callers can emit
+    ``lsh_dropped_bucket_stats`` for both caps — no silent caps
+    (jobs/ingest_increment.py emits them per batch)."""
     rows_per_band = num_hashes // bands
     g_new = new_docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
     ).persist()
     sig_new = _signatures_from_shingles(g_new, num_hashes)
     banded_new = _band_signature(sig_new, bands, rows_per_band)
+    if intermediates is not None:
+        intermediates["banded_new"] = banded_new
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         banded_new = (
@@ -372,6 +381,8 @@ def minhash_lsh_incremental(
     # --- cross candidates: probe the committed index with the batch
     probe = banded_new.select("band", "bucket").distinct()
     hit = corpus_banded.join(F.broadcast(probe), ["band", "bucket"])
+    if intermediates is not None:
+        intermediates["hit"] = hit
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         hit = (
@@ -422,6 +433,7 @@ def dedup_batch_against_corpus(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    intermediates: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, drops) of an arriving ``batch`` against a committed
     corpus + its LSH index — the keep/drop policy layered on
@@ -439,7 +451,7 @@ def dedup_batch_against_corpus(
 
     pairs = minhash_lsh_incremental(
         batch, corpus, corpus_banded, text=text, id_col=id_col,
-        threshold=threshold,
+        threshold=threshold, intermediates=intermediates,
     )
     clusters = dedup_clusters(pairs)  # (doc_id, canonical_id), all nodes
     batch_ids = batch.select(F.col(id_col).alias("doc_id"))

@@ -122,7 +122,8 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         def build_survivors(arrivals=arrivals, corpus=corpus, index=index,
                             out=out):
             survivors, drops = dedup_batch(
-                arrivals, corpus, index, threshold=threshold
+                arrivals, corpus, index, threshold=threshold,
+                intermediates=out,
             )
             out["drops"] = drops
             return survivors
@@ -146,6 +147,21 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
             }
             b["dropped_vs_corpus"] = int(reasons.get("corpus_dup", 0))
             b["dropped_in_batch"] = int(reasons.get("batch_dup", 0))
+            # no-silent-caps: what the LSH bucket guards discarded, for
+            # BOTH caps (batch-side banding + matched corpus-index rows)
+            from feature_engineering_spark.operators.dedup import (
+                lsh_dropped_bucket_stats,
+            )
+
+            for tag, frame in (("batch", out["banded_new"]),
+                               ("index_hit", out["hit"])):
+                row = lsh_dropped_bucket_stats(
+                    frame, max_bucket_size=64
+                ).collect()[0]
+                b[f"lsh_{tag}_dropped_buckets"] = int(
+                    row["n_dropped_buckets"] or 0
+                )
+                b[f"lsh_{tag}_dropped_rows"] = int(row["n_dropped_rows"] or 0)
         stats["batches"].append(b)
 
     stats["corpus_final"] = _union(corpus_parts).count()

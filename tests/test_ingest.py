@@ -5,9 +5,11 @@ from __future__ import annotations
 
 
 def _strip_reasons(stats: dict) -> dict:
+    """Drop the keys only derivable on a FRESH run (drop reasons + cap
+    audits) so fresh-vs-resume stats can be compared."""
     out = dict(stats, batches=[
         {k: v for k, v in b.items()
-         if k not in ("dropped_vs_corpus", "dropped_in_batch")}
+         if k in ("batch", "arrivals", "survivors", "dropped_total")}
         for b in stats["batches"]
     ])
     return out
@@ -28,6 +30,9 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         assert b["dropped_in_batch"] > 0, b
         assert b["dropped_total"] >= b["dropped_vs_corpus"] + b["dropped_in_batch"] - 1
         assert 0 < b["survivors"] < b["arrivals"]
+        # no-silent-caps: both LSH cap audits are emitted on fresh runs
+        assert "lsh_batch_dropped_buckets" in b
+        assert "lsh_index_hit_dropped_buckets" in b
     # corpus accounting is exact: initial + all survivors
     assert stats["corpus_final"] == stats["corpus_initial"] + sum(
         b["survivors"] for b in stats["batches"]
