@@ -145,6 +145,19 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def word_ngrams_all(text: Column, n: int = 2) -> Column:
+    """ALL word n-gram occurrences (multiset semantics — unlike
+    word_shingles, duplicates are kept): the input to repetition /
+    frequency statistics where COUNTS matter, not membership."""
+    toks = ws_tokens(text)
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), m - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    # guard m < n: sequence(0, negative) would DESCEND, not be empty
+    return F.when(m >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (set semantics) of the single-space
     tokenization. JVM: transform over a sequence of start offsets."""

@@ -452,6 +452,67 @@ HAVING COUNT(DISTINCT dg.ngram) >= 2
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (operators/repetition):
+    dup-word fraction, most frequent word 2-gram + its character
+    coverage, dup-2-gram fraction. Oracle mirrors the single-space
+    tokenization, the (count DESC, gram ASC) tie-break, and the
+    replace-based non-space char counts."""
+    from feature_engineering_spark.operators.repetition import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS parts,
+         length(replace(text, ' ', '')) AS nschars
+  FROM documents
+),
+wocc AS (SELECT doc_id, unnest(parts) AS w FROM toks),
+wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM wocc GROUP BY 1, 2),
+wagg AS (
+  SELECT doc_id, SUM(c) AS n_words,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
+  FROM wcnt GROUP BY 1
+),
+gocc AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(parts) >= 2 THEN
+                  [concat(parts[i], ' ', parts[i+1]) for i in range(1, len(parts))]
+                ELSE [] END) AS g
+  FROM toks
+),
+gcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM gocc GROUP BY 1, 2),
+gagg AS (
+  SELECT doc_id, SUM(c) AS ng,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupg,
+         MAX(c) AS mx
+  FROM gcnt GROUP BY 1
+),
+top AS (
+  SELECT g.doc_id, MIN(g.g) AS top_2gram, a.mx AS top_cnt
+  FROM gcnt g JOIN gagg a ON g.doc_id = a.doc_id AND g.c = a.mx
+  GROUP BY 1, a.mx
+)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       ROUND(w.dupw::DOUBLE / w.n_words, 6) AS dup_word_frac,
+       t.top_2gram,
+       CAST(t.top_cnt AS BIGINT) AS top_2gram_count,
+       ROUND(COALESCE(CASE WHEN k.nschars > 0 THEN
+               t.top_cnt * length(replace(t.top_2gram, ' ', ''))::DOUBLE
+               / k.nschars END, 0.0), 6) AS top_2gram_char_frac,
+       ROUND(COALESCE(g.dupg::DOUBLE / g.ng, 0.0), 6) AS dup_2gram_frac
+FROM wagg w
+LEFT JOIN gagg g USING (doc_id)
+LEFT JOIN top t USING (doc_id)
+JOIN toks k USING (doc_id)
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -858,6 +919,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_incremental": q_minhash_incremental,
     "contamination": q_contamination,
+    "repetition_signals": q_repetition_signals,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -880,6 +942,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
+    "repetition_signals": SQL_REPETITION,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "ann_topk": SQL_ANN_TOPK,

@@ -329,3 +329,44 @@ def test_contamination_report_and_decontaminate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_signals_hand_rows(spark):
+    """Hand-computed repetition signals: dup-word fraction, top 2-gram
+    with (count DESC, gram ASC) tie-break, char coverage, edge cases."""
+    from feature_engineering_spark.operators.repetition import (
+        filter_repetitive,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # words a:2 b:2 c:1; grams "a b":2,"b a":1,"b c":1
+            (2, "x y z"),       # all unique; grams tie at 1 -> min gram "x y"
+            (3, "solo"),        # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+
+    r1 = got[1]
+    assert r1["n_words"] == 5
+    assert abs(r1["dup_word_frac"] - 0.8) < 1e-9          # 4/5
+    assert (r1["top_2gram"], r1["top_2gram_count"]) == ("a b", 2)
+    assert abs(r1["top_2gram_char_frac"] - 0.8) < 1e-9    # 2*2 / 5 nonspace
+    assert abs(r1["dup_2gram_frac"] - 0.5) < 1e-9         # 2/4
+
+    r2 = got[2]
+    assert r2["n_words"] == 3 and r2["dup_word_frac"] == 0.0
+    assert (r2["top_2gram"], r2["top_2gram_count"]) == ("x y", 1)
+    assert abs(r2["top_2gram_char_frac"] - round(2 / 3, 6)) < 1e-9
+    assert r2["dup_2gram_frac"] == 0.0
+
+    r3 = got[3]
+    assert r3["n_words"] == 1 and r3["top_2gram"] is None
+    assert r3["top_2gram_char_frac"] == 0.0 and r3["dup_2gram_frac"] == 0.0
+
+    kept = sorted(r["doc_id"] for r in filter_repetitive(
+        docs, max_dup_word_frac=0.6, max_top_2gram_char_frac=0.9
+    ).collect())
+    assert kept == [2, 3]  # doc 1 is 80% duplicate words
