@@ -60,7 +60,9 @@ def _descendants_cpu_s() -> float:
             parts = open(f"/proc/{pid}/stat").read().rsplit(") ", 1)[1].split()
             ppid[int(pid)] = int(parts[1])
             cpu[int(pid)] = (int(parts[11]) + int(parts[12])) / tick
-        except OSError:
+        except (OSError, IndexError, ValueError):
+            # a pid can exit between listdir and read, leaving an empty
+            # or truncated stat — skip it rather than crash the bench
             pass
     total, frontier = cpu.get(me, 0.0), {me}
     while frontier:

@@ -191,18 +191,31 @@ def minhash_banded(
     return _band_signature(sig, bands, num_hashes // bands)
 
 
+def _cap_buckets(
+    banded: DataFrame,
+    max_bucket_size: int | None,
+    bucket_cols: tuple[str, ...] = ("band", "bucket"),
+) -> DataFrame:
+    """Drop rows of buckets larger than ``max_bucket_size`` — THE cap
+    policy every LSH operator and its DuckDB oracle mirror (<=, window
+    count over the bucket key); keep exactly one implementation so the
+    operators and oracles cannot drift apart."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .where(F.col("__bc") <= max_bucket_size)
+        .drop("__bc")
+    )
+
+
 def _candidates_from_banded(
     banded: DataFrame, max_bucket_size: int | None = 64
 ) -> DataFrame:
     """Candidate pairs from an (id, band, bucket) frame: cap oversized
     buckets, then self-join on (band, bucket)."""
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc") <= max_bucket_size)
-            .drop("__bc")
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -358,10 +371,14 @@ def minhash_lsh_incremental(
     session cleanup (see minhash_lsh_dedup's caching note).
 
     ``intermediates``: optional dict the operator fills with
-    ``banded_new`` (the batch banding BEFORE its cap) and ``hit`` (the
+    ``banded_new`` (the batch banding BEFORE its cap), ``hit`` (the
     matched corpus index rows BEFORE their cap) so callers can emit
-    ``lsh_dropped_bucket_stats`` for both caps — no silent caps
-    (jobs/ingest_increment.py emits them per batch)."""
+    ``lsh_dropped_bucket_stats`` for both caps — no silent caps — and
+    ``shingles`` (the PERSISTED batch shingle frame) so long-lived
+    callers unpersist it once pairs/stats are materialized: without
+    that, every ingest batch / streaming micro-batch would leak one
+    cached frame for the session lifetime (jobs/ingest_increment.py and
+    streaming_neardup_filter both clean up)."""
     rows_per_band = num_hashes // bands
     g_new = new_docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_n).alias("sh")
@@ -370,26 +387,15 @@ def minhash_lsh_incremental(
     banded_new = _band_signature(sig_new, bands, rows_per_band)
     if intermediates is not None:
         intermediates["banded_new"] = banded_new
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded_new = (
-            banded_new.withColumn("__bc", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc") <= max_bucket_size)
-            .drop("__bc")
-        )
+        intermediates["shingles"] = g_new
+    banded_new = _cap_buckets(banded_new, max_bucket_size)
 
     # --- cross candidates: probe the committed index with the batch
     probe = banded_new.select("band", "bucket").distinct()
     hit = corpus_banded.join(F.broadcast(probe), ["band", "bucket"])
     if intermediates is not None:
         intermediates["hit"] = hit
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        hit = (
-            hit.withColumn("__bc", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc") <= max_bucket_size)
-            .drop("__bc")
-        )
+    hit = _cap_buckets(hit, max_bucket_size)
     cross = (
         hit.select("band", "bucket", F.col("id").alias("a"))
         .join(
@@ -501,13 +507,7 @@ def simhash_neardup_pairs(
         F.col(id_col).alias("id"), simhash64(F.col(text), nbits).alias("sh")
     )
     s = s.withColumn("bucket", F.shiftright("sh", nbits - prefix_bits))
-    if max_bucket_size is not None:
-        w = Window.partitionBy("bucket")
-        s = (
-            s.withColumn("__bc", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc") <= max_bucket_size)
-            .drop("__bc")
-        )
+    s = _cap_buckets(s, max_bucket_size, ("bucket",))
     l, r = s.alias("l"), s.alias("r")
     return (
         l.join(
@@ -647,13 +647,7 @@ def embedding_neardup_lsh(
     """
     planes = srp_hyperplanes(dim, nbits, seed)
     banded = srp_signature_buckets(df, planes, bands, emb, id_col)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
-            .where(F.col("__bc") <= max_bucket_size)
-            .drop("__bc")
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

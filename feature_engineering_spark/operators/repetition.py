@@ -71,29 +71,42 @@ def repetition_signals(
     )
 
     chars = base.select(id_col, "__nschars")
+    # Fractions are quantized to millionths via INTEGER arithmetic
+    # (a * 1e6 div b) and only then divided by 1e6: ratios of small
+    # integers land exactly on .xxxxxx5 boundaries where Spark's
+    # BigDecimal ROUND and DuckDB's multiply-first ROUND can disagree
+    # (CLAUDE.md, window_features precedent) — integer div is
+    # bit-identical in both engines and int/1e6 is one deterministic
+    # IEEE division, so the doubles match exactly.
     out = (
         words.join(grams, id_col, "left")
         .join(chars, id_col)
         .select(
             id_col,
             "n_words",
-            F.round(F.col("__dupw") / F.col("n_words"), 6).alias("dup_word_frac"),
+            (F.expr("(__dupw * 1000000) div n_words") / F.lit(1e6)).alias(
+                "dup_word_frac"
+            ),
             F.col("__top.g").alias("top_2gram"),
             (-F.col("__top.nc")).cast("long").alias("top_2gram_count"),
-            F.round(
+            (
                 F.coalesce(
                     F.when(
                         F.col("__nschars") > 0,
-                        (-F.col("__top.nc"))
-                        * F.length(F.expr("replace(__top.g, ' ', '')"))
-                        / F.col("__nschars"),
+                        F.expr(
+                            "((-__top.nc) * length(replace(__top.g, ' ', ''))"
+                            " * 1000000) div __nschars"
+                        ),
                     ),
-                    F.lit(0.0),
-                ),
-                6,
+                    F.lit(0).cast("long"),
+                )
+                / F.lit(1e6)
             ).alias("top_2gram_char_frac"),
-            F.round(
-                F.coalesce(F.col("__dupg") / F.col("__ng"), F.lit(0.0)), 6
+            (
+                F.coalesce(
+                    F.expr("(__dupg * 1000000) div __ng"), F.lit(0).cast("long")
+                )
+                / F.lit(1e6)
             ).alias("dup_2gram_frac"),
         )
     )

@@ -456,8 +456,10 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (operators/repetition):
     dup-word fraction, most frequent word 2-gram + its character
     coverage, dup-2-gram fraction. Oracle mirrors the single-space
-    tokenization, the (count DESC, gram ASC) tie-break, and the
-    replace-based non-space char counts."""
+    tokenization, the (count DESC, gram ASC) tie-break, the
+    replace-based non-space char counts, and the millionth-quantized
+    integer-division fractions (ROUND(p/q, 6) half-way cases diverge
+    cross-engine — CLAUDE.md)."""
     from feature_engineering_spark.operators.repetition import (
         repetition_signals,
     )
@@ -499,13 +501,16 @@ top AS (
 )
 SELECT w.doc_id,
        CAST(w.n_words AS BIGINT) AS n_words,
-       ROUND(w.dupw::DOUBLE / w.n_words, 6) AS dup_word_frac,
+       -- fractions quantized to millionths via INTEGER division (exact
+       -- in both engines), then one IEEE division by 1e6 — never
+       -- ROUND(p/q, 6), whose half-way cases diverge cross-engine
+       ((w.dupw * 1000000) // w.n_words) / 1e6 AS dup_word_frac,
        t.top_2gram,
        CAST(t.top_cnt AS BIGINT) AS top_2gram_count,
-       ROUND(COALESCE(CASE WHEN k.nschars > 0 THEN
-               t.top_cnt * length(replace(t.top_2gram, ' ', ''))::DOUBLE
-               / k.nschars END, 0.0), 6) AS top_2gram_char_frac,
-       ROUND(COALESCE(g.dupg::DOUBLE / g.ng, 0.0), 6) AS dup_2gram_frac
+       COALESCE(CASE WHEN k.nschars > 0 THEN
+           (t.top_cnt * length(replace(t.top_2gram, ' ', '')) * 1000000)
+           // k.nschars END, 0) / 1e6 AS top_2gram_char_frac,
+       COALESCE((g.dupg * 1000000) // g.ng, 0) / 1e6 AS dup_2gram_frac
 FROM wagg w
 LEFT JOIN gagg g USING (doc_id)
 LEFT JOIN top t USING (doc_id)

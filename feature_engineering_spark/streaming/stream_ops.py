@@ -185,11 +185,18 @@ def streaming_neardup_filter(
 
     def for_each_batch(sink_fn):
         def fn(batch_df: DataFrame, batch_id: int):
+            inter: dict = {}
             survivors, drops = dedup_batch_against_corpus(
                 batch_df, corpus, corpus_banded, text=text, id_col=id_col,
-                threshold=threshold,
+                threshold=threshold, intermediates=inter,
             )
-            sink_fn(survivors, drops, batch_id)
+            try:
+                sink_fn(survivors, drops, batch_id)
+            finally:
+                # the sink materialized (or abandoned) the frames — drop
+                # the micro-batch's persisted shingle cache, or a
+                # long-running stream leaks one cached frame per batch
+                inter["shingles"].unpersist()
 
         return fn
 

@@ -70,12 +70,14 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         return spark.read.parquet(path)
 
     pages = load_pages()
-    slot = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(10))
+    # one 100-way hash split drives the corpus/batch partition: slots
+    # [0, 60) are the initial corpus, [60, 100) arrive in batches
+    slot = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(100))
 
     # initial corpus: 60% of the fixture, committed once with its banding
     corpus0 = p.stage(
         "corpus_000",
-        lambda: _with_doc_id(pages.where(slot < 6), 0),
+        lambda: _with_doc_id(pages.where(slot < 60), 0),
         ts_col="warc_ts",
     )
     index0 = p.stage(
@@ -84,8 +86,15 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
     corpus_parts, index_parts = [corpus0], [index0]
     stats: dict = {"corpus_initial": corpus0.count(), "batches": []}
 
+    # fresh rows: slots [60, 100) split into n_batches equal ranges —
+    # works for ANY n_batches <= 40 (the old fixed-width 2-slot-of-10
+    # windows silently emptied from batch 3 on)
     for k in range(1, n_batches + 1):
-        lo, hi = 6 + 2 * (k - 1), 6 + 2 * k  # 20% fresh rows per batch
+        lo = 60 + (40 * (k - 1)) // n_batches
+        hi = 60 + (40 * k) // n_batches
+        if lo == hi:
+            raise ValueError(f"n_batches={n_batches} too large for the "
+                             "fixture's 40% fresh share (max 40)")
 
         def build_arrivals(lo=lo, hi=hi, k=k):
             fresh = _with_doc_id(
@@ -93,7 +102,7 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
             )
             # planted dups: exact + near copies of COMMITTED corpus rows,
             # and an in-batch near-pair, so every drop path is exercised
-            seed = pages.where(slot < 6)
+            seed = pages.where(slot < 60)
             cfrac = F.pmod(F.xxhash64("url"), F.lit(100))
             exact_vs_corpus = _with_doc_id(seed.where(cfrac < 3), 10 + k)
             near_vs_corpus = _with_doc_id(
@@ -162,6 +171,10 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
                     row["n_dropped_buckets"] or 0
                 )
                 b[f"lsh_{tag}_dropped_rows"] = int(row["n_dropped_rows"] or 0)
+            # survivors/index/stats are materialized — release the batch
+            # shingle cache so a long ingest doesn't accumulate one
+            # persisted frame per batch
+            out["shingles"].unpersist()
         stats["batches"].append(b)
 
     stats["corpus_final"] = _union(corpus_parts).count()

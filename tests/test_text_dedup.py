@@ -359,7 +359,8 @@ def test_repetition_signals_hand_rows(spark):
     r2 = got[2]
     assert r2["n_words"] == 3 and r2["dup_word_frac"] == 0.0
     assert (r2["top_2gram"], r2["top_2gram_count"]) == ("x y", 1)
-    assert abs(r2["top_2gram_char_frac"] - round(2 / 3, 6)) < 1e-9
+    # millionth-quantized via integer division: floor(2e6/3)/1e6
+    assert abs(r2["top_2gram_char_frac"] - 0.666666) < 1e-12
     assert r2["dup_2gram_frac"] == 0.0
 
     r3 = got[3]

@@ -30,10 +30,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(cmd: list[str], timeout: int) -> tuple[int, str, str, float]:
     t0 = time.monotonic()
-    p = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
-    )
-    return p.returncode, p.stdout, p.stderr, round(time.monotonic() - t0, 1)
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+        )
+        rc, out, err = p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired as e:
+        # a hung gate must still yield the one-line JSON contract
+        rc = 124
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = f"TIMEOUT after {timeout}s"
+    return rc, out, err, round(time.monotonic() - t0, 1)
 
 
 def main() -> None:
