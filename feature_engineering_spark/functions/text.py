@@ -172,6 +172,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct CHARACTER n-gram shingles (set semantics) — the standard
+    web-corpus alternative to word shingles for short documents and
+    scripts without whitespace word boundaries (CJK-ish text), where word
+    3-grams are too sparse to near-dup on. JVM scan-side: transform over a
+    sequence of start offsets with Column.substr — no Python, no shuffle."""
+    m = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - n + 1), lambda i: text.substr(i, F.lit(n))
+    )
+    # guard m < n: sequence(1, non-positive) would DESCEND, not be empty
+    return F.when(m >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical cleaning pass (the per-page normalize step of a corpus
     pipeline): lowercase, strip [.,!?;:] punctuation, collapse whitespace

@@ -3,25 +3,30 @@ quality heuristics a webtext pipeline filters on before training:
 heavily repetitive documents (boilerplate, keyword stuffing, scraper
 loops) are low-value and skew n-gram statistics.
 
-Per document:
+Per document (Gopher uses n = 2..4 for both families; ``ns`` selects):
 - ``n_words``          total whitespace tokens;
 - ``dup_word_frac``    fraction of word OCCURRENCES that are repeats
                        (1 - distinct/total — 0 for all-unique text);
-- ``top_2gram``        the most frequent word 2-gram (ties: smallest
-                       gram — deterministic), and its ``top_2gram_count``;
-- ``top_2gram_char_frac`` non-space characters covered by occurrences of
-                       that 2-gram / non-space characters of the doc —
+- ``top_{n}gram``      the most frequent word n-gram (ties: smallest
+                       gram — deterministic), and its
+                       ``top_{n}gram_count``;
+- ``top_{n}gram_char_frac`` non-space characters covered by occurrences
+                       of that n-gram / non-space characters of the doc —
                        Gopher's "fraction of characters in the most
                        common n-gram";
-- ``dup_2gram_frac``   fraction of 2-gram occurrences whose gram occurs
+- ``dup_{n}gram_frac`` fraction of n-gram occurrences whose gram occurs
                        more than once.
 
-Scale shape: two explode → map-side-combined groupBy((doc, term)) →
-groupBy(doc) chains; per-doc term counts partial-aggregate before the
-shuffle, so shuffle volume is distinct-(doc, term) rows, bounded by the
-corpus token count and in practice far below it. All expressions are
-cross-engine exact (single-space split, replace-based char counts) and
-mirrored by the DuckDB oracle of the ``repetition_signals`` query.
+Scale shape: the words chain plus ONE shared gram chain for ALL n —
+per-doc n-gram occurrences for every n are tagged (n, gram) structs in a
+single scan-side flatten, exploded once, and partial-aggregate map-side
+before the one (doc, n, gram) shuffle; the per-(doc, n) rows then pivot
+to wide columns in a final map-side-combined groupBy(doc). Adding n=3,4
+therefore adds ZERO extra shuffles over the round-4 2-gram operator —
+only wider (still distinct-bounded) shuffle rows. All expressions are
+cross-engine exact (single-space split, replace-based char counts,
+integer-quantized fractions) and mirrored by the DuckDB oracle of the
+``repetition_signals`` query.
 """
 
 from __future__ import annotations
@@ -29,22 +34,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feature_engineering_spark.functions.text import ws_tokens, word_ngrams_all
+from feature_engineering_spark.functions.text import ws_tokens
+
+
+def _ngrams_from_toks(toks, n: int):
+    """ALL word n-gram occurrences (multiset semantics) from a pre-split
+    token array — COUNTS matter here, unlike set-semantics shingles."""
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), m - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # guard m < n: sequence(0, negative) would DESCEND, not be empty
+    return F.when(m >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_signals(
-    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
 ) -> DataFrame:
     t = F.col(text)
+    toks = ws_tokens(t)
+
+    # one scan-side flatten of (n, gram) structs for every n — the gram
+    # chain is shared across all n (one explode, one shuffle). NB: the
+    # tag lambda must be UNARY — pyspark gives a 2-arg transform lambda
+    # (element, index), which would silently shadow an `n=n` default.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_ngrams_from_toks(toks, n), _tag(n)) for n in ns])
+    )
     base = docs.select(
         F.col(id_col),
-        ws_tokens(t).alias("__toks"),
-        word_ngrams_all(t, 2).alias("__grams"),
+        toks.alias("__toks"),
+        tagged.alias("__grams"),
         F.length(F.expr(f"replace({text}, ' ', '')")).alias("__nschars"),
     )
 
     words = (
-        base.select(id_col, "__nschars", F.explode("__toks").alias("w"))
+        base.select(id_col, F.explode("__toks").alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
@@ -54,11 +86,11 @@ def repetition_signals(
         )
     )
 
-    grams = (
-        base.select(id_col, F.explode("__grams").alias("g"))
-        .groupBy(id_col, "g")
+    per_n = (
+        base.select(id_col, F.explode("__grams").alias("t"))
+        .groupBy(id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
+        .groupBy(id_col, "n")
         .agg(
             F.sum("c").alias("__ng"),
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__dupg"),
@@ -69,6 +101,19 @@ def repetition_signals(
             ),
         )
     )
+    # pivot the (doc, n) rows to wide columns: exactly one source row per
+    # (doc, n), so min(when(n == k, ...)) just relocates it
+    grams = per_n.groupBy(id_col).agg(
+        *[
+            a
+            for n in ns
+            for a in (
+                F.min(F.when(F.col("n") == n, F.col("__ng"))).alias(f"__ng{n}"),
+                F.min(F.when(F.col("n") == n, F.col("__dupg"))).alias(f"__dupg{n}"),
+                F.min(F.when(F.col("n") == n, F.col("__top"))).alias(f"__top{n}"),
+            )
+        ]
+    )
 
     chars = base.select(id_col, "__nschars")
     # Fractions are quantized to millionths via INTEGER arithmetic
@@ -78,6 +123,32 @@ def repetition_signals(
     # (CLAUDE.md, window_features precedent) — integer div is
     # bit-identical in both engines and int/1e6 is one deterministic
     # IEEE division, so the doubles match exactly.
+    per_n_cols = []
+    for n in ns:
+        per_n_cols += [
+            F.col(f"__top{n}.g").alias(f"top_{n}gram"),
+            (-F.col(f"__top{n}.nc")).cast("long").alias(f"top_{n}gram_count"),
+            (
+                F.coalesce(
+                    F.when(
+                        F.col("__nschars") > 0,
+                        F.expr(
+                            f"((-__top{n}.nc) * length(replace(__top{n}.g, ' ', ''))"
+                            f" * 1000000) div __nschars"
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                )
+                / F.lit(1e6)
+            ).alias(f"top_{n}gram_char_frac"),
+            (
+                F.coalesce(
+                    F.expr(f"(__dupg{n} * 1000000) div __ng{n}"),
+                    F.lit(0).cast("long"),
+                )
+                / F.lit(1e6)
+            ).alias(f"dup_{n}gram_frac"),
+        ]
     out = (
         words.join(grams, id_col, "left")
         .join(chars, id_col)
@@ -87,27 +158,7 @@ def repetition_signals(
             (F.expr("(__dupw * 1000000) div n_words") / F.lit(1e6)).alias(
                 "dup_word_frac"
             ),
-            F.col("__top.g").alias("top_2gram"),
-            (-F.col("__top.nc")).cast("long").alias("top_2gram_count"),
-            (
-                F.coalesce(
-                    F.when(
-                        F.col("__nschars") > 0,
-                        F.expr(
-                            "((-__top.nc) * length(replace(__top.g, ' ', ''))"
-                            " * 1000000) div __nschars"
-                        ),
-                    ),
-                    F.lit(0).cast("long"),
-                )
-                / F.lit(1e6)
-            ).alias("top_2gram_char_frac"),
-            (
-                F.coalesce(
-                    F.expr("(__dupg * 1000000) div __ng"), F.lit(0).cast("long")
-                )
-                / F.lit(1e6)
-            ).alias("dup_2gram_frac"),
+            *per_n_cols,
         )
     )
     return out
@@ -118,14 +169,33 @@ def filter_repetitive(
     text: str = "text",
     id_col: str = "doc_id",
     max_dup_word_frac: float = 0.6,
-    max_top_2gram_char_frac: float = 0.2,
+    max_top_2gram_char_frac: float | None = None,
+    max_top_char_frac: dict[int, float] | None = None,
+    max_dup_frac: dict[int, float] | None = None,
 ) -> DataFrame:
     """Corpus minus documents over the repetition thresholds (Gopher-style
-    quality gate). The signals frame is one row per doc; the anti-join
-    side carries only the ids of rejected docs."""
-    sig = repetition_signals(docs, text, id_col)
-    bad = sig.where(
-        (F.col("dup_word_frac") > max_dup_word_frac)
-        | (F.col("top_2gram_char_frac") > max_top_2gram_char_frac)
-    ).select(id_col)
+    quality gate), with per-n thresholds:
+
+    - ``max_top_char_frac``: {n: ceiling} on ``top_{n}gram_char_frac``
+      (Gopher: {2: 0.20, 3: 0.18, 4: 0.16});
+    - ``max_dup_frac``: {n: ceiling} on ``dup_{n}gram_frac`` (optional);
+    - ``max_top_2gram_char_frac``: legacy scalar spelling of
+      ``max_top_char_frac={2: ...}`` (kept for callers of the round-4
+      2-gram-only operator).
+
+    The signals frame is one row per doc; the anti-join side carries only
+    the ids of rejected docs."""
+    if max_top_char_frac is None:
+        if max_top_2gram_char_frac is not None:
+            max_top_char_frac = {2: max_top_2gram_char_frac}
+        else:
+            max_top_char_frac = {2: 0.20, 3: 0.18, 4: 0.16}
+    ns = tuple(sorted(set(max_top_char_frac) | set(max_dup_frac or {})))
+    sig = repetition_signals(docs, text, id_col, ns=ns)
+    cond = F.col("dup_word_frac") > max_dup_word_frac
+    for n, thr in max_top_char_frac.items():
+        cond = cond | (F.col(f"top_{n}gram_char_frac") > thr)
+    for n, thr in (max_dup_frac or {}).items():
+        cond = cond | (F.col(f"dup_{n}gram_frac") > thr)
+    bad = sig.where(cond).select(id_col)
     return docs.join(bad, id_col, "left_anti")

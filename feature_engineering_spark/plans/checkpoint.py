@@ -126,8 +126,23 @@ class IcebergTableIO(TableIO):
                 "configured catalog (spark.sql.catalog.<name>=...)"
             )
 
+    _SYS_PREFIX = "zz_sys_"  # reserved namespace for internal tables
+
     def locate(self, root: str, name: str) -> str:
-        return f"{root}.{name.strip('_')}"
+        # Internal tables (leading underscore, e.g. the '_ledger') map into
+        # a reserved prefix and user stage names may not enter it — so a
+        # user stage named 'ledger' can NEVER alias the lineage table
+        # (pre-fix, strip('_') folded '_ledger' and 'ledger' together and
+        # silently interleaved lineage rows with stage data).
+        if name.startswith("_"):
+            return f"{root}.{self._SYS_PREFIX}{name.strip('_')}"
+        if name.strip("_") != name or name.startswith(self._SYS_PREFIX):
+            raise ValueError(
+                f"stage name {name!r} is reserved: leading/trailing "
+                f"underscores and the {self._SYS_PREFIX!r} prefix are for "
+                "internal tables"
+            )
+        return f"{root}.{name}"
 
     def exists(self, spark: SparkSession, loc: str) -> bool:
         return spark.catalog.tableExists(loc)
@@ -136,10 +151,17 @@ class IcebergTableIO(TableIO):
         df.writeTo(loc).using("iceberg").createOrReplace()
 
     def append(self, spark: SparkSession, df: DataFrame, loc: str) -> None:
-        if self.exists(spark, loc):
-            df.writeTo(loc).append()
-        else:
-            df.writeTo(loc).using("iceberg").create()
+        # First-append races are benign, not silent: if two writers both
+        # see a missing table, one create() commits and the loser's raises
+        # (Iceberg catalog commits are atomic), after which the loser
+        # appends — every row lands exactly once either way.
+        if not self.exists(spark, loc):
+            try:
+                df.writeTo(loc).using("iceberg").create()
+                return
+            except Exception:  # noqa: BLE001 — concurrent creator won
+                pass
+        df.writeTo(loc).append()
 
     def read(self, spark: SparkSession, loc: str) -> DataFrame:
         return spark.read.table(loc)

@@ -188,7 +188,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") < 60) | (F.col("doc_id") >= 10000)
     )
     out = ngram_jaccard_pairs(d, threshold=0.3)
-    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    # FLOOR(j*1e6)/1e6, not ROUND(j,6): the raw double inter/union is
+    # bit-identical cross-engine (same two ints, one IEEE division), and
+    # floor-of-x*1e6 keeps it so — ROUND's half-way cases diverge
+    # (Spark BigDecimal-exact vs DuckDB multiply-first; CLAUDE.md)
+    return out.select(
+        "a", "b",
+        (F.floor(F.col("jaccard") * F.lit(1000000.0)) / F.lit(1e6)).alias(
+            "jaccard"
+        ),
+    )
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -203,8 +212,8 @@ g AS (
   FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM sub)
 )
 SELECT a.id AS a, b.id AS b,
-       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+       FLOOR(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)) * 1000000) / 1e6 AS jaccard
 FROM g a JOIN g b ON a.id < b.id
 WHERE len(list_distinct(a.sh || b.sh)) > 0
   AND len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -221,7 +230,16 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs_with_dupes(spark, sf_dir)
     out = minhash_lsh_dedup(d, threshold=0.5)
-    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    # FLOOR(j*1e6)/1e6, not ROUND(j,6): the raw double inter/union is
+    # bit-identical cross-engine (same two ints, one IEEE division), and
+    # floor-of-x*1e6 keeps it so — ROUND's half-way cases diverge
+    # (Spark BigDecimal-exact vs DuckDB multiply-first; CLAUDE.md)
+    return out.select(
+        "a", "b",
+        (F.floor(F.col("jaccard") * F.lit(1000000.0)) / F.lit(1e6)).alias(
+            "jaccard"
+        ),
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +319,8 @@ cand AS (
     ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT c.a, c.b,
-       ROUND(len(list_intersect(ga.sh, gb.sh))::DOUBLE
-             / len(list_distinct(ga.sh || gb.sh)), 6) AS jaccard
+       FLOOR(len(list_intersect(ga.sh, gb.sh))::DOUBLE
+             / len(list_distinct(ga.sh || gb.sh)) * 1000000) / 1e6 AS jaccard
 FROM cand c JOIN g ga ON ga.id = c.a JOIN g gb ON gb.id = c.b
 WHERE len(list_distinct(ga.sh || gb.sh)) > 0
   AND len(list_intersect(ga.sh, gb.sh))::DOUBLE
@@ -351,7 +369,16 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.where(F.col("doc_id") >= 10000)
     index = minhash_banded(corpus)
     out = minhash_lsh_incremental(batch, corpus, index, threshold=0.5)
-    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    # FLOOR(j*1e6)/1e6, not ROUND(j,6): the raw double inter/union is
+    # bit-identical cross-engine (same two ints, one IEEE division), and
+    # floor-of-x*1e6 keeps it so — ROUND's half-way cases diverge
+    # (Spark BigDecimal-exact vs DuckDB multiply-first; CLAUDE.md)
+    return out.select(
+        "a", "b",
+        (F.floor(F.col("jaccard") * F.lit(1000000.0)) / F.lit(1e6)).alias(
+            "jaccard"
+        ),
+    )
 
 
 SQL_MINHASH_INCREMENTAL = f"""
@@ -398,8 +425,8 @@ cand AS (
   FROM gb l JOIN gb r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT c.a, c.b,
-       ROUND(len(list_intersect(ga.sh, gb.sh))::DOUBLE
-             / len(list_distinct(ga.sh || gb.sh)), 6) AS jaccard
+       FLOOR(len(list_intersect(ga.sh, gb.sh))::DOUBLE
+             / len(list_distinct(ga.sh || gb.sh)) * 1000000) / 1e6 AS jaccard
 FROM cand c JOIN g ga ON ga.id = c.a JOIN g gb ON gb.id = c.b
 WHERE len(list_distinct(ga.sh || gb.sh)) > 0
   AND len(list_intersect(ga.sh, gb.sh))::DOUBLE
@@ -467,7 +494,47 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir))
 
 
-SQL_REPETITION = """
+def _repetition_sql(ns: tuple[int, ...] = (2, 3, 4)) -> str:
+    """DuckDB twin of operators/repetition.repetition_signals for the same
+    ``ns``: per-n gram CTEs mirror the single-space tokenization, the
+    (count DESC, gram ASC) tie-break, the replace-based non-space char
+    counts, and the millionth-quantized integer-division fractions
+    (ROUND(p/q, 6) half-way cases diverge cross-engine — CLAUDE.md)."""
+    per_n_ctes, per_n_cols, joins = [], [], []
+    for n in ns:
+        gram = "concat_ws(' ', " + ", ".join(
+            f"parts[i+{k}]" if k else "parts[i]" for k in range(n)
+        ) + ")"
+        per_n_ctes.append(f"""
+gocc{n} AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(parts) >= {n} THEN
+                  [{gram} for i in range(1, len(parts) - {n} + 2)]
+                ELSE [] END) AS g
+  FROM toks
+),
+gcnt{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM gocc{n} GROUP BY 1, 2),
+gagg{n} AS (
+  SELECT doc_id, SUM(c) AS ng,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupg,
+         MAX(c) AS mx
+  FROM gcnt{n} GROUP BY 1
+),
+top{n} AS (
+  SELECT g.doc_id, MIN(g.g) AS topg, a.mx AS topc
+  FROM gcnt{n} g JOIN gagg{n} a ON g.doc_id = a.doc_id AND g.c = a.mx
+  GROUP BY 1, a.mx
+)""")
+        per_n_cols.append(f"""
+       t{n}.topg AS top_{n}gram,
+       CAST(t{n}.topc AS BIGINT) AS top_{n}gram_count,
+       COALESCE(CASE WHEN k.nschars > 0 THEN
+           (t{n}.topc * length(replace(t{n}.topg, ' ', '')) * 1000000)
+           // k.nschars END, 0) / 1e6 AS top_{n}gram_char_frac,
+       COALESCE((g{n}.dupg * 1000000) // g{n}.ng, 0) / 1e6 AS dup_{n}gram_frac""")
+        joins.append(f"LEFT JOIN gagg{n} g{n} USING (doc_id)\n"
+                     f"LEFT JOIN top{n} t{n} USING (doc_id)")
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS parts,
          length(replace(text, ' ', '')) AS nschars
@@ -479,43 +546,20 @@ wagg AS (
   SELECT doc_id, SUM(c) AS n_words,
          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
   FROM wcnt GROUP BY 1
-),
-gocc AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(parts) >= 2 THEN
-                  [concat(parts[i], ' ', parts[i+1]) for i in range(1, len(parts))]
-                ELSE [] END) AS g
-  FROM toks
-),
-gcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM gocc GROUP BY 1, 2),
-gagg AS (
-  SELECT doc_id, SUM(c) AS ng,
-         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupg,
-         MAX(c) AS mx
-  FROM gcnt GROUP BY 1
-),
-top AS (
-  SELECT g.doc_id, MIN(g.g) AS top_2gram, a.mx AS top_cnt
-  FROM gcnt g JOIN gagg a ON g.doc_id = a.doc_id AND g.c = a.mx
-  GROUP BY 1, a.mx
-)
+),{','.join(per_n_ctes)}
 SELECT w.doc_id,
        CAST(w.n_words AS BIGINT) AS n_words,
        -- fractions quantized to millionths via INTEGER division (exact
        -- in both engines), then one IEEE division by 1e6 — never
        -- ROUND(p/q, 6), whose half-way cases diverge cross-engine
-       ((w.dupw * 1000000) // w.n_words) / 1e6 AS dup_word_frac,
-       t.top_2gram,
-       CAST(t.top_cnt AS BIGINT) AS top_2gram_count,
-       COALESCE(CASE WHEN k.nschars > 0 THEN
-           (t.top_cnt * length(replace(t.top_2gram, ' ', '')) * 1000000)
-           // k.nschars END, 0) / 1e6 AS top_2gram_char_frac,
-       COALESCE((g.dupg * 1000000) // g.ng, 0) / 1e6 AS dup_2gram_frac
+       ((w.dupw * 1000000) // w.n_words) / 1e6 AS dup_word_frac,{','.join(per_n_cols)}
 FROM wagg w
-LEFT JOIN gagg g USING (doc_id)
-LEFT JOIN top t USING (doc_id)
+{chr(10).join(joins)}
 JOIN toks k USING (doc_id)
 """
+
+
+SQL_REPETITION = _repetition_sql()
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +693,127 @@ WHERE ROUND(list_cosine_similarity(da.v, db.v), 4) >= 0.8
 
 
 SQL_EMBED_NEARDUP_LSH = _srp_sql()
+
+
+def q_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed incremental embedding near-dup (operators/dedup.
+    embedding_lsh_incremental): the embeddings table plays the committed
+    corpus (its SRP banding is the persisted index, srp_banded) and two
+    in-query mutation layers play an arriving batch — vec_id+10000
+    (v*1.02+0.03, near-dups of the corpus) and vec_id+20000
+    (v*0.98+0.05 of vec_id<25, near-dup of BOTH the corpus and the first
+    layer, so the in-batch self-join path is exercised too). Only the
+    batch is signed; the corpus index is probed with a broadcast of the
+    batch's buckets and corpus vectors are fetched for candidate ids
+    only. The oracle replicates the md5-derived hyperplanes as literals
+    with the operator's exact left-associated fold order, the per-side
+    bucket caps, the cross probe, and the in-batch self-join."""
+    from feature_engineering_spark.operators.dedup import (
+        embedding_lsh_incremental,
+        srp_banded,
+    )
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b1 = e.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02) + F.lit(0.03)).alias(
+            "embedding"
+        ),
+    )
+    b2 = e.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.98) + F.lit(0.05)).alias(
+            "embedding"
+        ),
+    )
+    batch = b1.unionByName(b2)
+    index = srp_banded(e, dim=64, nbits=16, bands=4)
+    out = embedding_lsh_incremental(
+        batch, e, index, dim=64, threshold=-1.0, nbits=16, bands=4
+    )
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine")).where(
+        F.round("cosine", 4) >= 0.8
+    )
+
+
+def _srp_incremental_sql() -> str:
+    from feature_engineering_spark.operators.dedup import srp_hyperplanes
+
+    planes = srp_hyperplanes(64, 16, 7)
+    # identical left-associated add chains as the Spark operator emits —
+    # same IEEE op sequence, bit-identical dot products, identical sign bits
+    bits = [
+        "(CASE WHEN 0.0 + "
+        + " + ".join(f"v[{k + 1}] * ({w!r})" for k, w in enumerate(h))
+        + " > 0 THEN 1 ELSE 0 END)"
+        for h in planes
+    ]
+    buckets = []
+    for b in range(4):
+        terms = " + ".join(f"{bits[4 * b + r]} * {2 ** r}" for r in range(4))
+        buckets.append(f"0 + {terms} AS bucket{b}")
+    bucket_sql = ",\n         ".join(buckets)
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+batch AS (
+  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.02 + 0.03) AS v
+  FROM e0 WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 20000 AS vec_id, list_transform(v, x -> x * 0.98 + 0.05) AS v
+  FROM e0 WHERE vec_id < 25
+),
+allv AS (SELECT * FROM e0 UNION ALL SELECT * FROM batch),
+sigc AS (
+  SELECT vec_id,
+         {bucket_sql}
+  FROM e0
+),
+sigb AS (
+  SELECT vec_id,
+         {bucket_sql}
+  FROM batch
+),
+bandc AS (
+  SELECT vec_id, 0 AS band, bucket0 AS bucket FROM sigc
+  UNION ALL SELECT vec_id, 1, bucket1 FROM sigc
+  UNION ALL SELECT vec_id, 2, bucket2 FROM sigc
+  UNION ALL SELECT vec_id, 3, bucket3 FROM sigc
+),
+bandb AS (
+  SELECT vec_id, 0 AS band, bucket0 AS bucket FROM sigb
+  UNION ALL SELECT vec_id, 1, bucket1 FROM sigb
+  UNION ALL SELECT vec_id, 2, bucket2 FROM sigb
+  UNION ALL SELECT vec_id, 3, bucket3 FROM sigb
+),
+-- per-side caps mirror the operator: corpus-index rows and batch banding
+-- are guarded INDEPENDENTLY at 4096
+gc AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bc FROM bandc
+  ) WHERE bc <= 4096
+),
+gb AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bc FROM bandb
+  ) WHERE bc <= 4096
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM gc l JOIN gb r ON l.band = r.band AND l.bucket = r.bucket
+  UNION ALL
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM gb l JOIN gb r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.a, c.b, ROUND(list_cosine_similarity(da.v, db.v), 4) AS cosine
+FROM cand c JOIN allv da ON da.vec_id = c.a JOIN allv db ON db.vec_id = c.b
+WHERE ROUND(list_cosine_similarity(da.v, db.v), 4) >= 0.8
+"""
+
+
+SQL_EMBED_INCREMENTAL = _srp_incremental_sql()
 
 
 # ---------------------------------------------------------------- similarity
@@ -928,6 +1093,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
+    "embed_incremental": q_embed_incremental,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
@@ -950,6 +1116,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "repetition_signals": SQL_REPETITION,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
+    "embed_incremental": SQL_EMBED_INCREMENTAL,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,

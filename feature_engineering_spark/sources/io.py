@@ -6,14 +6,12 @@
 - CSV/JSON sinks (S6: reference exports selected features to
   csv/excel/json/latex, get_features.py:437-455 — excel/latex are report
   artifacts, out of engine scope)
-- TableIO: the Parquet-directory-with-_SUCCESS convention shared with
-  plans/checkpoint.py; an Iceberg implementation would replace the
-  sentinel check with a snapshot lookup (jars not in this sandbox).
+
+Table-format IO (Parquet-with-_SUCCESS / Iceberg) lives in
+plans/checkpoint.TableIO — the ONE format seam in the codebase.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,27 +33,6 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> str:
 def write_json(df: DataFrame, path: str) -> str:
     df.write.mode("overwrite").json(path)
     return path
-
-
-class TableIO:
-    """Parquet table store with committed-snapshot semantics (the sandbox
-    stand-in for an Iceberg catalog)."""
-
-    def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.root = root
-
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
-
-    def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
-
-    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self._path(name))
-
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(name))
 
 
 # ---------------------------------------------------------------- S1: JDBC

@@ -195,8 +195,55 @@ def streaming_neardup_filter(
             finally:
                 # the sink materialized (or abandoned) the frames — drop
                 # the micro-batch's persisted shingle cache, or a
-                # long-running stream leaks one cached frame per batch
-                inter["shingles"].unpersist()
+                # long-running stream leaks one cached frame per batch.
+                # .get(): if the dedup raised before populating the
+                # intermediates, a KeyError here would mask the original
+                # exception
+                sh = inter.get("shingles")
+                if sh is not None:
+                    sh.unpersist()
+
+        return fn
+
+    return for_each_batch
+
+
+def streaming_contamination_filter(
+    stream: DataFrame,
+    probes: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 2,
+):
+    """Streaming face of benchmark decontamination: each micro-batch is
+    screened against the (static, tiny) benchmark probe set by the SAME
+    batch operators (operators/contamination.contamination_report /
+    decontaminate), so semantics — distinct word n-gram hits, the
+    ``min_hits`` floor — are identical to the batch pass. The probe
+    n-grams broadcast into every micro-batch scan; only hit rows shuffle.
+
+    Like streaming_neardup_filter, returns a factory for
+    ``writeStream.foreachBatch``: ``for_each_batch(sink_fn)`` where
+    ``sink_fn(clean_df, report_df, batch_id)`` receives the kept rows and
+    the per-doc contamination report (doc_id, n_hits, first_hit) — the
+    drop accounting — per micro-batch. The report is computed ONCE per
+    batch and the clean side anti-joins against it (broadcast — the
+    report is one row per contaminated doc, a vanishing fraction)."""
+    from feature_engineering_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    def for_each_batch(sink_fn):
+        def fn(batch_df: DataFrame, batch_id: int):
+            report = contamination_report(
+                batch_df, probes, text=text, id_col=id_col, n=n,
+                min_hits=min_hits,
+            )
+            clean = batch_df.join(
+                F.broadcast(report.select(id_col)), id_col, "left_anti"
+            )
+            sink_fn(clean, report, batch_id)
 
         return fn
 

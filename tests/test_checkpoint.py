@@ -171,3 +171,21 @@ def test_parquet_tableio_is_default(spark, pages_df, tmp_path):
     assert isinstance(p.io, ParquetTableIO)
     p.stage("a", lambda: pages_df.select("url"))
     assert table_exists(os.path.join(root, "a"))
+
+
+def test_iceberg_locate_reserves_internal_names():
+    """A user stage named 'ledger' must NOT alias the internal '_ledger'
+    lineage table (pre-fix, strip('_') folded them together and silently
+    interleaved lineage rows with stage data). locate() needs no Iceberg
+    runtime, so the naming contract is testable in this sandbox."""
+    import pytest
+
+    from feature_engineering_spark.plans.checkpoint import IcebergTableIO
+
+    io = object.__new__(IcebergTableIO)  # bypass the runtime-jar guard
+    assert io.locate("lake.db", "_ledger") == "lake.db.zz_sys_ledger"
+    assert io.locate("lake.db", "ledger") == "lake.db.ledger"
+    assert io.locate("lake.db", "features") == "lake.db.features"
+    for bad in ("ledger_", "zz_sys_ledger", "zz_sys_x"):
+        with pytest.raises(ValueError, match="reserved"):
+            io.locate("lake.db", bad)

@@ -73,3 +73,48 @@ def test_ingest_batch2_sees_batch1_survivors(spark, tmp_path):
     assert drops.get(200) == "corpus_dup"  # near-dup of the batch-1 survivor
     assert 201 in {r["doc_id"] for r in s2.collect()}
     assert s2.where(F.col("doc_id") == 200).count() == 0
+
+
+def test_exact_resend_same_doc_id_drops(spark):
+    """With content-derived ids, re-ingesting identical content carries
+    the SAME doc_id as its committed corpus row. Pre-fix, such a row
+    became a self-loop in the pair graph (cluster looked batch-only) and
+    the duplicate re-committed, yielding two corpus rows under one id;
+    now it drops up front as corpus_dup. Same-id copies WITHIN a batch
+    collapse to one survivor (no drop row — identical ids are identical
+    content, nothing distinguishes the twins)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from feature_engineering_spark.operators.dedup import (
+        dedup_batch_against_corpus,
+        minhash_banded,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    t_corp = " ".join(vocab)
+    t_fresh = " ".join(reversed(vocab)) + " q1 q2 q3"
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": [t_corp]})
+    )
+    index = minhash_banded(corpus)
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [7, 50, 50],
+            # id 7 = byte-identical re-send; the two id-50 rows are
+            # in-batch identical twins
+            "text": [t_corp, t_fresh, t_fresh],
+        })
+    )
+    survivors, drops = dedup_batch_against_corpus(
+        batch, corpus, index, threshold=0.5
+    )
+    got_drops = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert got_drops == {7: "corpus_dup"}
+    surv = survivors.select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in surv) == [50]  # twins collapsed
+    # corpus ∪ survivors stays id-unique — the invariant the fix restores
+    union_ids = corpus.select("doc_id").unionByName(
+        survivors.select("doc_id")
+    )
+    assert union_ids.count() == union_ids.distinct().count()

@@ -10,7 +10,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from feature_engineering_spark.sources.io import (
-    TableIO,
     read_glob_with_provenance,
     write_csv,
     write_json,
@@ -40,11 +39,16 @@ def test_csv_json_sinks_roundtrip(spark, tmp_path):
 
 
 def test_tableio(spark, pages_df, tmp_path):
-    io = TableIO(spark, str(tmp_path))
-    assert not io.exists("pages")
-    io.write("pages", pages_df.limit(50))
-    assert io.exists("pages")
-    assert io.read("pages").count() == 50
+    """The ONE table-format seam (plans/checkpoint.TableIO): Parquet impl
+    commit/exists/read round-trip through format-agnostic locators."""
+    from feature_engineering_spark.plans.checkpoint import ParquetTableIO
+
+    io = ParquetTableIO()
+    loc = io.locate(str(tmp_path), "pages")
+    assert not io.exists(spark, loc)
+    io.write(spark, pages_df.limit(50), loc)
+    assert io.exists(spark, loc)
+    assert io.read(spark, loc).count() == 50
 
 
 def test_streaming_stateful_running_stats(spark, pages_df, tmp_path):
@@ -234,3 +238,45 @@ def test_streaming_neardup_filter(spark, tmp_path):
     assert drops[100] == "corpus_dup"
     assert drops[102] == "batch_dup"
     assert kept_ids == {101, 103}
+
+
+def test_streaming_contamination_filter(spark, tmp_path):
+    """A micro-batch streamed through the contamination filter must
+    keep/drop exactly what the batch operators decide: docs with >=
+    min_hits distinct probe n-grams drop (with per-doc hit accounting in
+    the report), the rest pass."""
+    import pandas as pd
+
+    from feature_engineering_spark.streaming.stream_ops import (
+        streaming_contamination_filter,
+    )
+
+    probes = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    batch = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",  # 3 hits -> drop
+            "x y alpha beta gamma z",               # 1 hit  -> keep
+            "unrelated words only here today",      # 0      -> keep
+            "beta gamma delta epsilon q",           # 2 hits -> drop
+        ],
+    })
+    src = str(tmp_path / "contam_src")
+    spark.createDataFrame(batch).repartition(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    kept, reports = [], []
+    feb = streaming_contamination_filter(stream, probes, n=3, min_hits=2)(
+        lambda c, r, bid: (kept.append(c.toPandas()), reports.append(r.toPandas()))
+    )
+    q = stream.writeStream.foreachBatch(feb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    kept_ids = set(pd.concat(kept)["doc_id"])
+    rep = pd.concat(reports).set_index("doc_id")
+    assert kept_ids == {11, 12}
+    assert set(rep.index) == {10, 13}
+    assert rep.loc[10, "n_hits"] == 3 and rep.loc[13, "n_hits"] == 2
+    assert rep.loc[10, "first_hit"] == "alpha beta gamma"

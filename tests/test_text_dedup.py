@@ -367,7 +367,157 @@ def test_repetition_signals_hand_rows(spark):
     assert r3["n_words"] == 1 and r3["top_2gram"] is None
     assert r3["top_2gram_char_frac"] == 0.0 and r3["dup_2gram_frac"] == 0.0
 
+    # n = 3, 4 (Gopher families; values cross-checked against the DuckDB
+    # oracle): doc 1 "a b a b c" has 3-grams "a b a","b a b","a b c" (all
+    # unique, min-tie "a b a", 3 chars / 5 nonspace) and one 4-gram
+    assert (r1["top_3gram"], r1["top_3gram_count"]) == ("a b a", 1)
+    assert abs(r1["top_3gram_char_frac"] - 0.6) < 1e-12
+    assert r1["dup_3gram_frac"] == 0.0
+    assert (r1["top_4gram"], r1["top_4gram_count"]) == ("a b a b", 1)
+    assert abs(r1["top_4gram_char_frac"] - 0.8) < 1e-12
+    assert r2["top_3gram"] == "x y z" and r2["top_3gram_char_frac"] == 1.0
+    assert r2["top_4gram"] is None and r2["top_4gram_count"] is None
+    assert r2["top_4gram_char_frac"] == 0.0 and r2["dup_4gram_frac"] == 0.0
+    assert r3["top_3gram"] is None and r3["top_4gram"] is None
+
     kept = sorted(r["doc_id"] for r in filter_repetitive(
         docs, max_dup_word_frac=0.6, max_top_2gram_char_frac=0.9
     ).collect())
     assert kept == [2, 3]  # doc 1 is 80% duplicate words
+
+    # per-n thresholds: doc 2's top 3-gram covers 100% of its chars ->
+    # rejected by the n=3 gate; doc 1 already out on dup words; only the
+    # one-word doc survives
+    kept_n = sorted(r["doc_id"] for r in filter_repetitive(
+        docs, max_dup_word_frac=0.6,
+        max_top_char_frac={2: 0.9, 3: 0.95, 4: 0.95},
+    ).collect())
+    assert kept_n == [3]
+    # dup-gram family: doc 1 has dup_2gram_frac 0.5 -> a 0.4 ceiling on
+    # n=2 rejects it even with permissive char-frac gates
+    kept_d = sorted(r["doc_id"] for r in filter_repetitive(
+        docs, max_dup_word_frac=0.99,
+        max_top_char_frac={2: 2.0}, max_dup_frac={2: 0.4},
+    ).collect())
+    assert kept_d == [2, 3]
+
+
+def test_char_shingles_hand(spark):
+    from feature_engineering_spark.functions.text import char_shingles
+
+    df = spark.createDataFrame([("abcde",), ("aaaa",), ("ab",)], "text string")
+    got = [r[0] for r in df.select(char_shingles(F.col("text"), 3)).collect()]
+    assert sorted(got[0]) == ["abc", "bcd", "cde"]
+    assert got[1] == ["aaa"]  # distinct: 2 occurrences collapse
+    assert got[2] == []       # shorter than n -> empty, not descending seq
+
+
+def test_minhash_char_unit_near_dups_short_docs(spark):
+    """Word-3-gram shingles are blind to near-dup docs with < 3 words;
+    char shingles catch them — and the unit plumbs through the full
+    dedup, the banding, and the incremental probe consistently."""
+    from feature_engineering_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_incremental,
+    )
+
+    rows = [
+        (0, "internationalization"),
+        (1, "internationalisation"),   # near-dup of 0 (one char)
+        (2, "incomprehensibilities"),  # unrelated long word
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    assert minhash_lsh_dedup(df, threshold=0.5).count() == 0  # word-blind
+    got = minhash_lsh_dedup(
+        df, threshold=0.5, shingle_n=4, shingle_unit="char"
+    ).toPandas()
+    assert set(map(tuple, got[["a", "b"]].to_numpy())) == {(0, 1)}
+
+    # incremental probe against a char-unit index reproduces the pair
+    corpus = df.where(F.col("doc_id") == 0)
+    batch = df.where(F.col("doc_id") > 0)
+    index = minhash_banded(corpus, shingle_n=4, shingle_unit="char")
+    inc = minhash_lsh_incremental(
+        batch, corpus, index, threshold=0.5, shingle_n=4, shingle_unit="char"
+    ).toPandas()
+    assert set(map(tuple, inc[["a", "b"]].to_numpy())) == {(0, 1)}
+
+    with pytest.raises(ValueError, match="shingle_unit"):
+        minhash_lsh_dedup(df, shingle_unit="byte").count()
+
+
+def test_all_pairs_guard_raises(spark):
+    """The two documented all-pairs recall oracles fail FAST above their
+    max_rows ceiling instead of going quadratic on a full corpus."""
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z t"), F.col("id").cast("string")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        ngram_jaccard_pairs(docs, max_rows=10)
+    assert ngram_jaccard_pairs(docs, max_rows=20).count() >= 0
+
+    vecs = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_neardup_pairs(vecs, max_rows=10)
+    assert embedding_neardup_pairs(vecs, threshold=1.1, max_rows=20).count() == 0
+
+
+def test_embed_incremental_matches_full_lsh(spark):
+    """Incremental embedding dedup (batch vs committed SRP index +
+    in-batch) must find exactly the pairs the FULL corpus-wide SRP dedup
+    finds, restricted to pairs touching the batch — the embedding twin of
+    test_minhash_incremental_matches_full_dedup. On fixtures far from the
+    bucket caps the per-side and combined cap policies coincide, so pair
+    sets and cosines are identical. Only the batch is signed; corpus
+    vectors are fetched for candidate ids only."""
+    from feature_engineering_spark.operators.dedup import (
+        embedding_lsh_incremental,
+        srp_banded,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 16))
+    corp_rows = [(i, base[i].tolist()) for i in range(40)]
+    batch_rows = []
+    for i in range(12):  # near-dups of corpus vectors
+        v = base[i] + rng.normal(scale=0.05, size=16)
+        batch_rows.append((100 + i, v.tolist()))
+    for i in range(4):   # in-batch near pairs (perturb the SAME new vec)
+        v = rng.normal(size=16)
+        batch_rows.append((200 + 2 * i, v.tolist()))
+        batch_rows.append(
+            (201 + 2 * i, (v + rng.normal(scale=0.03, size=16)).tolist())
+        )
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corp_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    index = srp_banded(corpus, dim=16, nbits=16, bands=4)
+
+    inc = embedding_lsh_incremental(
+        batch, corpus, index, dim=16, threshold=0.9, nbits=16, bands=4
+    )
+    got = {(r["a"], r["b"]): round(r["cosine"], 9) for r in inc.collect()}
+
+    full = embedding_neardup_lsh(
+        corpus.unionByName(batch), dim=16, threshold=0.9, nbits=16, bands=4
+    ).collect()
+    batch_ids = {r[0] for r in batch_rows}
+    exp = {}
+    for r in full:
+        a, b = r["a"], r["b"]
+        if a in batch_ids and b in batch_ids:
+            exp[(min(a, b), max(a, b))] = round(r["cosine"], 9)
+        elif b in batch_ids:
+            exp[(a, b)] = round(r["cosine"], 9)
+        elif a in batch_ids:
+            exp[(b, a)] = round(r["cosine"], 9)
+    assert len(got) > 0
+    assert got == exp
+    cross = {a for (a, b) in got if a not in batch_ids}
+    assert len(cross) >= 10  # 12 planted corpus near-dups, SRP recall high
+    in_batch = {(a, b) for (a, b) in got if a in batch_ids}
+    assert len(in_batch) >= 3  # 4 planted in-batch pairs
