@@ -483,10 +483,28 @@ def dedup_batch_against_corpus(
     threshold: float = 0.6,
     intermediates: dict | None = None,
     shingle_unit: str = "word",
+    emb: str | None = None,
+    emb_banded: DataFrame | None = None,
+    emb_dim: int | None = None,
+    emb_threshold: float = 0.95,
+    emb_nbits: int = 16,
+    emb_bands: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, drops) of an arriving ``batch`` against a committed
     corpus + its LSH index — the keep/drop policy layered on
     ``minhash_lsh_incremental``'s verified pairs.
+
+    MULTI-SIGNAL: pass ``emb`` (embedding column name) + ``emb_banded``
+    (the corpus's committed SRP index, ``srp_banded`` output) +
+    ``emb_dim`` to ALSO probe the embedding index
+    (``embedding_lsh_incremental``) — the paraphrase/semantic-dup signal
+    text shingles are blind to. Both signals' verified pairs merge into
+    ONE graph before closure, so a batch doc that chains to committed
+    data through EITHER signal (or a mix: text-near to an arrival that
+    is embedding-near to the corpus) drops as ``corpus_dup``. Embedding
+    intermediates land under ``intermediates['emb']`` (same keys as the
+    text side); ``intermediates['pairs_text'/'pairs_embed']`` expose the
+    per-signal verified pair frames for drop accounting.
 
     Drop policy is TRANSITIVE: all pairs (batch↔corpus and batch↔batch)
     form one graph and close into clusters (operators/graph); a batch doc
@@ -523,11 +541,29 @@ def dedup_batch_against_corpus(
         id_col, "left_anti",
     )
 
-    pairs = minhash_lsh_incremental(
+    pairs_text = minhash_lsh_incremental(
         batch, corpus, corpus_banded, text=text, id_col=id_col,
         threshold=threshold, intermediates=intermediates,
         shingle_unit=shingle_unit,
     )
+    pairs = pairs_text.select("a", "b")
+    if emb is not None:
+        if emb_banded is None or emb_dim is None:
+            raise ValueError(
+                "multi-signal dedup needs emb_banded (committed SRP index) "
+                "and emb_dim alongside emb"
+            )
+        eint: dict = {}
+        pairs_embed = embedding_lsh_incremental(
+            batch, corpus, emb_banded, dim=emb_dim, emb=emb, id_col=id_col,
+            threshold=emb_threshold, nbits=emb_nbits, bands=emb_bands,
+            intermediates=eint,
+        )
+        if intermediates is not None:
+            intermediates["emb"] = eint
+            intermediates["pairs_text"] = pairs_text
+            intermediates["pairs_embed"] = pairs_embed
+        pairs = pairs.unionByName(pairs_embed.select("a", "b"))
     clusters = dedup_clusters(pairs)  # (doc_id, canonical_id), all nodes
     batch_ids = batch.select(F.col(id_col).alias("doc_id"))
     anchored = (

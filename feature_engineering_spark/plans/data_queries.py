@@ -901,6 +901,65 @@ FROM documents
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass (operators/pii): synthetic emails / IPv4s / phone
+    numbers are injected into every 7th document IN-QUERY (identical
+    construction in the oracle — the fixture corpus itself is PII-free),
+    then per-doc counts + the md5 of the masked text are emitted. The
+    byte-identity check holds because the patterns stay inside the regex
+    subset where Java regex and RE2 agree (operators/pii docstring)."""
+    from feature_engineering_spark.operators.pii import pii_signals, scrub_text
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("@mail.site.example.com or admin@10.20.30.40 from 10."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".2.3 call +1202555014"),
+                (F.col("doc_id") % 10).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    sig = pii_signals(d)
+    masked = d.select("doc_id", F.md5(scrub_text(F.col("text"))).alias("scrub_md5"))
+    return sig.join(masked, "doc_id").where(F.col("has_pii"))
+
+
+SQL_PII_SCRUB = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact bob' || CAST(doc_id % 100 AS VARCHAR)
+                || '@mail.site.example.com or admin@10.20.30.40 from 10.'
+                || CAST(doc_id % 250 AS VARCHAR) || '.2.3 call +1202555014'
+                || CAST(doc_id % 10 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '\+\d{7,15}')) AS INT) AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
+  FROM d
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       (n_email + n_ipv4 + n_phone) > 0 AS has_pii, scrub_md5
+FROM sig WHERE (n_email + n_ipv4 + n_phone) > 0
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: token -> corpus frequency over normalized text,
     top 500 by (count desc, token). One explode + one map-side-combined
@@ -1098,6 +1157,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
     "clean_text_normalize": q_clean_text_normalize,
+    "pii_scrub": q_pii_scrub,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
     "tfidf_terms": q_tfidf_terms,
@@ -1122,6 +1182,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "media_features": SQL_MEDIA_FEATURES,
     "clean_text_normalize": SQL_CLEAN_TEXT,
+    "pii_scrub": SQL_PII_SCRUB,
     "vocab_topk": SQL_VOCAB_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "tfidf_terms": SQL_TFIDF,

@@ -161,6 +161,7 @@ def streaming_neardup_filter(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    **dedup_kwargs,
 ):
     """Streaming face of the incremental near-dup dedup: each micro-batch
     is deduped against the committed corpus LSH index — and within itself
@@ -189,6 +190,9 @@ def streaming_neardup_filter(
             survivors, drops = dedup_batch_against_corpus(
                 batch_df, corpus, corpus_banded, text=text, id_col=id_col,
                 threshold=threshold, intermediates=inter,
+                # e.g. shingle_unit='char', or emb/emb_banded/emb_dim for
+                # the multi-signal embedding probe
+                **dedup_kwargs,
             )
             try:
                 sink_fn(survivors, drops, batch_id)

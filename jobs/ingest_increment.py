@@ -6,20 +6,34 @@ Per batch k (all stages checkpointed/resumable through plans/checkpoint):
 
   1. commit the raw arrivals (``arrivals_k``);
   2. near-dup the batch against the corpus via the COMMITTED index tables
-     (operators/dedup.minhash_lsh_incremental — only the batch is signed,
-     the corpus index is probed with a broadcast of the batch's buckets);
-  3. close ALL pairs (cross + in-batch) into clusters
+     — TWO signals, both index-probed with a broadcast of the batch's
+     buckets, only the batch signed:
+     text (operators/dedup.minhash_lsh_incremental, MinHash LSH index)
+     and embeddings (operators/dedup.embedding_lsh_incremental, SRP
+     index) — the latter catches paraphrase/semantic dups whose rewritten
+     text shares no shingles with the committed original;
+  3. close ALL pairs from BOTH signals (cross + in-batch) into one graph
      (operators/graph): a batch doc is dropped if its cluster contains
      any corpus doc (it duplicates committed data, possibly transitively
-     through another arrival) or if it is not its cluster's minimum
-     batch id (in-batch dup);
-  4. commit the survivors (``survivors_k``) and THEIR banding
-     (``index_k``) so the next batch dedups against them too.
+     through another arrival, possibly through a mixed text+embedding
+     chain) or if it is not its cluster's minimum batch id (in-batch
+     dup);
+  4. commit the survivors (``survivors_k``) and BOTH their bandings
+     (``index_k`` MinHash, ``eindex_k`` SRP) so the next batch dedups
+     against them too.
 
-Corpus = corpus_000 ∪ survivors_*; index = index_000 ∪ index_* — on a
-real deployment these are two Iceberg tables the job appends to
-(plans/checkpoint.TableIO); the per-stage parquet tables here are the
-sandbox stand-in with identical resume semantics.
+Corpus = corpus_000 ∪ survivors_*; index = index_000 ∪ index_*;
+eindex = eindex_000 ∪ eindex_* — on a real deployment these are three
+Iceberg tables the job appends to (plans/checkpoint.TableIO); the
+per-stage parquet tables here are the sandbox stand-in with identical
+resume semantics.
+
+The sandbox fixture has no model embeddings, so the job derives a
+deterministic per-row stand-in embedding from (url, warc_ts) hashes —
+IDENTICAL for a paraphrase of the same capture, independent for
+everything else — which exercises exactly the semantic-dup shape the SRP
+path exists for. On a real deployment the embedding column comes from
+the encoder; everything downstream is identical.
 
     python jobs/ingest_increment.py --rows 20000 --batches 2 --out /tmp/fes_ingest
 """
@@ -39,13 +53,45 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from feature_engineering_spark.operators.dedup import (  # noqa: E402
     dedup_batch_against_corpus as dedup_batch,
     minhash_banded,
+    srp_banded,
 )
+
+EMB_DIM = 16
 from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
 from feature_engineering_spark.session import get_spark  # noqa: E402
 
 
 def _union(parts: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _with_embedding(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in embedding, a pure function of the CAPTURE
+    (url, warc_ts) — not of the text — so a paraphrased re-crawl of the
+    same capture keeps its vector (cosine 1.0: the semantic-dup analog)
+    while distinct captures get independent centered hash vectors
+    (16-dim, P(cos >= 0.9) negligible). Scan-side JVM projection."""
+    comps = [
+        (
+            F.pmod(F.xxhash64("url", "warc_ts", F.lit(k)), F.lit(2000))
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        )
+        for k in range(EMB_DIM)
+    ]
+    return df.withColumn("embedding", F.array(*comps))
+
+
+def _paraphrase(df: DataFrame) -> DataFrame:
+    """Rewrite text as md5-derived token soup unique to the row's url —
+    ZERO shingle overlap with the original (and with other paraphrases),
+    so MinHash is provably blind to it; only the embedding signal (which
+    rides (url, warc_ts), untouched here) can catch the dup."""
+    toks = [
+        F.substring(F.md5(F.concat(F.col("url"), F.lit(str(k)))), 1, 12)
+        for k in range(15)
+    ]
+    return df.withColumn("text", F.concat_ws(" ", F.array(*toks)))
 
 
 def _with_doc_id(df: DataFrame, layer) -> DataFrame:
@@ -69,7 +115,7 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
             write_pages_parquet(path, n_rows, seed=42)
         return spark.read.parquet(path)
 
-    pages = load_pages()
+    pages = _with_embedding(load_pages())
     # one 100-way hash split drives the corpus/batch partition: slots
     # [0, 60) are the initial corpus, [60, 100) arrive in batches
     slot = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(100))
@@ -83,7 +129,12 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
     index0 = p.stage(
         "index_000", lambda: minhash_banded(corpus0), ts_col=None
     )
-    corpus_parts, index_parts = [corpus0], [index0]
+    eindex0 = p.stage(
+        "eindex_000",
+        lambda: srp_banded(corpus0, EMB_DIM, emb="embedding", id_col="doc_id"),
+        ts_col=None,
+    )
+    corpus_parts, index_parts, eindex_parts = [corpus0], [index0], [eindex0]
     stats: dict = {"corpus_initial": corpus0.count(), "batches": []}
 
     # fresh rows: slots [60, 100) split into n_batches equal ranges —
@@ -116,23 +167,37 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
                 .withColumn("text", F.concat("text", F.lit(" qq"))),
                 30 + k,
             )
+            # paraphrase dups: text fully rewritten (MinHash-blind), the
+            # (url, warc_ts)-derived embedding untouched — only the SRP
+            # index probe can catch these
+            para_vs_corpus = _with_doc_id(
+                _paraphrase(seed.where((cfrac >= 6) & (cfrac < 9))), 40 + k
+            )
+            para_in_batch = _with_doc_id(
+                _paraphrase(fresh.where((cfrac >= 5) & (cfrac < 8))), 50 + k
+            )
             return (
                 fresh.unionByName(exact_vs_corpus)
                 .unionByName(near_vs_corpus)
                 .unionByName(near_in_batch)
+                .unionByName(para_vs_corpus)
+                .unionByName(para_in_batch)
             )
 
         arrivals = p.stage(f"arrivals_{k:03d}", build_arrivals, ts_col="warc_ts")
 
         corpus = _union(corpus_parts)
         index = _union(index_parts)
+        eindex = _union(eindex_parts)
         out: dict = {}
 
         def build_survivors(arrivals=arrivals, corpus=corpus, index=index,
-                            out=out):
+                            eindex=eindex, out=out):
             survivors, drops = dedup_batch(
                 arrivals, corpus, index, threshold=threshold,
                 intermediates=out,
+                emb="embedding", emb_banded=eindex, emb_dim=EMB_DIM,
+                emb_threshold=0.9,
             )
             out["drops"] = drops
             return survivors
@@ -143,8 +208,16 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         index_k = p.stage(
             f"index_{k:03d}", lambda s=survivors: minhash_banded(s), ts_col=None
         )
+        eindex_k = p.stage(
+            f"eindex_{k:03d}",
+            lambda s=survivors: srp_banded(
+                s, EMB_DIM, emb="embedding", id_col="doc_id"
+            ),
+            ts_col=None,
+        )
         corpus_parts.append(survivors)
         index_parts.append(index_k)
+        eindex_parts.append(eindex_k)
 
         b = {"batch": k, "arrivals": arrivals.count(),
              "survivors": survivors.count()}
@@ -162,10 +235,16 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
                 lsh_dropped_bucket_stats,
             )
 
-            for tag, frame in (("batch", out["banded_new"]),
-                               ("index_hit", out["hit"])):
+            b["pairs_text"] = out["pairs_text"].count()
+            b["pairs_embed"] = out["pairs_embed"].count()
+            # audits use each signal's OWN cap (text 64, SRP 4096 — the
+            # operators' defaults)
+            for tag, frame, cap in (("batch", out["banded_new"], 64),
+                                    ("index_hit", out["hit"], 64),
+                                    ("embed_batch", out["emb"]["banded_new"], 4096),
+                                    ("embed_index_hit", out["emb"]["hit"], 4096)):
                 row = lsh_dropped_bucket_stats(
-                    frame, max_bucket_size=64
+                    frame, max_bucket_size=cap
                 ).collect()[0]
                 b[f"lsh_{tag}_dropped_buckets"] = int(
                     row["n_dropped_buckets"] or 0

@@ -30,9 +30,15 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         assert b["dropped_in_batch"] > 0, b
         assert b["dropped_total"] >= b["dropped_vs_corpus"] + b["dropped_in_batch"] - 1
         assert 0 < b["survivors"] < b["arrivals"]
-        # no-silent-caps: both LSH cap audits are emitted on fresh runs
+        # no-silent-caps: cap audits for BOTH signals are emitted on
+        # fresh runs
         assert "lsh_batch_dropped_buckets" in b
         assert "lsh_index_hit_dropped_buckets" in b
+        assert "lsh_embed_batch_dropped_buckets" in b
+        assert "lsh_embed_index_hit_dropped_buckets" in b
+        # planted paraphrase dups (MinHash-blind) flow through the SRP
+        # index probe
+        assert b["pairs_embed"] > 0, b
     # corpus accounting is exact: initial + all survivors
     assert stats["corpus_final"] == stats["corpus_initial"] + sum(
         b["survivors"] for b in stats["batches"]
@@ -118,3 +124,55 @@ def test_exact_resend_same_doc_id_drops(spark):
         survivors.select("doc_id")
     )
     assert union_ids.count() == union_ids.distinct().count()
+
+
+def test_multi_signal_dedup_catches_paraphrase(spark):
+    """A paraphrase dup (text fully rewritten, embedding unchanged) is
+    invisible to the MinHash signal — text-only dedup keeps it — but the
+    SRP index probe catches it and the merged graph drops it as
+    corpus_dup. Fresh rows with independent embeddings survive."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from feature_engineering_spark.operators.dedup import (
+        dedup_batch_against_corpus,
+        minhash_banded,
+        srp_banded,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    t_corp = " ".join(vocab)
+    t_para = " ".join(f"tok{i}" for i in range(30))     # zero shared shingles
+    t_fresh = " ".join(f"new{i}" for i in range(30))
+    v_corp = [1.0, 0.2, -0.5, 0.8] * 4
+    v_fresh = [-0.7, 0.9, 0.1, -0.3] * 4
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [t_corp],
+                      "embedding": [v_corp]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101],
+                      "text": [t_para, t_fresh],
+                      "embedding": [v_corp, v_fresh]})
+    )
+    index = minhash_banded(corpus)
+    eindex = srp_banded(corpus, 16, emb="embedding", id_col="doc_id")
+
+    # text-only: MinHash is blind to the paraphrase
+    surv_text, drops_text = dedup_batch_against_corpus(
+        batch, corpus, index, threshold=0.5
+    )
+    assert drops_text.count() == 0 and surv_text.count() == 2
+
+    surv, drops = dedup_batch_against_corpus(
+        batch, corpus, index, threshold=0.5,
+        emb="embedding", emb_banded=eindex, emb_dim=16, emb_threshold=0.9,
+    )
+    got = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert got == {100: "corpus_dup"}
+    assert [r["doc_id"] for r in surv.select("doc_id").collect()] == [101]
+
+    # misuse guard: emb without its index/dim fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="emb_banded"):
+        dedup_batch_against_corpus(batch, corpus, index, emb="embedding")
