@@ -199,3 +199,92 @@ def filter_repetitive(
         cond = cond | (F.col(f"dup_{n}gram_frac") > thr)
     bad = sig.where(cond).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def line_repetition_signals(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Gopher's duplicate-LINE family (``sep='\\n'``; pass ``'\\n\\n'``
+    for the duplicate-paragraph variant) — the structural complement of
+    the word/n-gram signals above: scraper templates and boilerplate
+    repeat whole lines that n-gram statistics dilute.
+
+    Per document (docs with zero non-empty lines are omitted):
+    - ``n_lines``             non-empty line occurrences;
+    - ``dup_line_frac``       fraction of line OCCURRENCES whose exact
+                              line appears more than once (Gopher's
+                              "duplicate line fraction", gate 0.30);
+    - ``dup_line_char_frac``  non-space characters inside repeated-line
+                              occurrences / non-space characters across
+                              all lines (Gopher's "duplicate line
+                              character fraction", gate 0.20).
+
+    Scale shape: split is scan-side, the explode inflates rows map-side
+    only, ONE map-side-combined (doc, line) shuffle bounded by distinct
+    lines, then a map-side-combined groupBy(doc). Fractions are
+    integer-quantized to millionths (cross-engine exact — the
+    ``line_repetition`` query hash-verifies vs DuckDB)."""
+    import re
+
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text), re.escape(sep))).alias("line"),
+    ).where(F.length("line") > 0)
+    cnt = (
+        occ.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            id_col,
+            "c",
+            F.length(F.expr("replace(line, ' ', '')")).alias("nsc"),
+        )
+    )
+    agg = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__dup"),
+        F.sum(F.col("c") * F.col("nsc")).alias("__chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.col("nsc")).otherwise(0)
+        ).alias("__dupchars"),
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        # millionth-quantized integer division, then ONE IEEE division —
+        # never ROUND(p/q, 6), whose half-way cases diverge cross-engine
+        (F.expr("(__dup * 1000000) div n_lines") / F.lit(1e6)).alias(
+            "dup_line_frac"
+        ),
+        (
+            F.coalesce(
+                F.when(
+                    F.col("__chars") > 0,
+                    F.expr("(__dupchars * 1000000) div __chars"),
+                ),
+                F.lit(0).cast("long"),
+            )
+            / F.lit(1e6)
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def filter_repetitive_lines(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+) -> DataFrame:
+    """Corpus minus documents over the duplicate-line thresholds
+    (Gopher gates: dup-line fraction 0.30, dup-line char fraction 0.20).
+    Anti-join side carries only rejected ids."""
+    sig = line_repetition_signals(docs, text, id_col, sep=sep)
+    bad = sig.where(
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("dup_line_char_frac") > max_dup_line_char_frac)
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")

@@ -562,6 +562,52 @@ JOIN toks k USING (doc_id)
 SQL_REPETITION = _repetition_sql()
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-line signals (operators/repetition.
+    line_repetition_signals). The fixture documents are single-line, so
+    BOTH sides synthesize line breaks in-query the same way (the
+    pii_scrub precedent): every ' a ' becomes a newline — replace() is
+    left-to-right non-overlapping in Spark and DuckDB alike."""
+    from feature_engineering_spark.operators.repetition import (
+        line_repetition_signals,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' a ', chr(10))").alias("text")
+    )
+    return line_repetition_signals(docs)
+
+
+SQL_LINE_REPETITION = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+),
+cnt AS (
+  SELECT doc_id, line, COUNT(*) AS c,
+         length(replace(line, ' ', '')) AS nsc
+  FROM occ WHERE length(line) > 0 GROUP BY doc_id, line
+),
+agg AS (
+  SELECT doc_id, SUM(c) AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         SUM(c * nsc) AS chars,
+         SUM(CASE WHEN c > 1 THEN c * nsc ELSE 0 END) AS dupchars
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       -- millionth-quantized integer division (exact in both engines),
+       -- then one IEEE division by 1e6 — never ROUND(p/q, 6)
+       ((dup * 1000000) // n_lines) / 1e6 AS dup_line_frac,
+       COALESCE(CASE WHEN chars > 0
+                THEN (dupchars * 1000000) // chars END, 0) / 1e6
+         AS dup_line_char_frac
+FROM agg
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -1149,6 +1195,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_incremental": q_minhash_incremental,
     "contamination": q_contamination,
     "repetition_signals": q_repetition_signals,
+    "line_repetition": q_line_repetition,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1174,6 +1221,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
     "repetition_signals": SQL_REPETITION,
+    "line_repetition": SQL_LINE_REPETITION,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_incremental": SQL_EMBED_INCREMENTAL,
