@@ -906,3 +906,73 @@ def embedding_lsh_incremental(
     return _verify(cross, v_corp, v_new).unionByName(
         _verify(batch_cand, v_new, v_new)
     )
+
+
+def line_corpus_dedup(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style CORPUS-level line deduplication: any non-empty line whose
+    exact text occurs ``min_count``+ times across the WHOLE corpus is
+    removed from every document; documents are rebuilt with their
+    surviving lines in original order. (C4 removed any three-sentence-
+    or-line boilerplate this way — cookie banners, nav bars, legal
+    footers — which per-document dedup can never see.)
+
+    Returns (id_col, text, n_lines_kept, n_lines_removed); documents
+    whose every line was removed drop out, like C4's empty-doc discard
+    (an all-empty-lines document survives — empty lines are structure,
+    not content, and are never counted or removed).
+
+    Scale shape (10^12 docs): split is scan-side; posexplode inflates
+    map-side only; the line-frequency count is ONE map-side-combined
+    groupBy(line) whose shuffle is bounded by DISTINCT lines; membership
+    is a shuffle join on the line value (NOT a broadcast — the blocklist
+    of a web corpus is itself huge), and the rebuild is one
+    groupBy(doc) whose collect_list carries (pos, line) structs that
+    array_sort restores to document order. Empty lines are structural
+    (never counted, never removed) so surviving text keeps its shape.
+    Cross-engine: the ``line_dedup`` query's DuckDB oracle mirrors the
+    split / count / anti-join / ordered string_agg exactly.
+    """
+    import re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    )
+    bad = (
+        lines.where(F.length("line") > 0)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("line")
+    )
+    kept = lines.join(bad, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("line")))
+        ).alias("__ls"),
+    )
+    out = rebuilt.select(
+        F.col(id_col),
+        F.concat_ws(sep, F.transform("__ls", lambda s: s["line"])).alias(text),
+        F.size("__ls").alias("n_lines_kept"),
+    )
+    n_orig = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text), re.escape(sep))).alias("__n0")
+    )
+    return (
+        out.join(n_orig, id_col)
+        .select(
+            id_col,
+            text,
+            "n_lines_kept",
+            (F.col("__n0") - F.col("n_lines_kept")).alias("n_lines_removed"),
+        )
+    )

@@ -608,6 +608,57 @@ FROM agg
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup (operators/dedup.
+    line_corpus_dedup): lines occurring >= 3 times across the corpus are
+    removed from every document, documents rebuilt in original order.
+    Line breaks synthesized in-query on both sides (line_repetition
+    precedent)."""
+    from feature_engineering_spark.operators.dedup import line_corpus_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' a ', chr(10))").alias("text")
+    )
+    out = line_corpus_dedup(docs, min_count=3)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
+),
+l AS (
+  -- parallel unnests zip elementwise: (line, 1-based pos)
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM d
+),
+bad AS (
+  SELECT line FROM l WHERE length(line) > 0
+  GROUP BY line HAVING COUNT(*) >= 3
+),
+keep AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN bad b USING (line) WHERE b.line IS NULL
+),
+n0 AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_orig FROM d
+)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+       CAST(ANY_VALUE(n0.n_orig) - COUNT(*) AS BIGINT) AS n_lines_removed
+FROM keep k JOIN n0 USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -1196,6 +1247,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "repetition_signals": q_repetition_signals,
     "line_repetition": q_line_repetition,
+    "line_dedup": q_line_dedup,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1222,6 +1274,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "contamination": SQL_CONTAMINATION,
     "repetition_signals": SQL_REPETITION,
     "line_repetition": SQL_LINE_REPETITION,
+    "line_dedup": SQL_LINE_DEDUP,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_incremental": SQL_EMBED_INCREMENTAL,

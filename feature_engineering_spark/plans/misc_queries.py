@@ -551,7 +551,42 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# ------------------------------------------------------- latest snapshot
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per entity — the canonical Common-Crawl "keep the
+    newest crawl of each url" dedup, over events as (user -> latest
+    event). Scale path: ONE map-side-combined max-of-structs aggregate
+    (struct compares (ts, event_id, ...) left-to-right; event_id is
+    unique, so the pick is total-ordered) — no window, no shuffle+sort
+    of the full table, unlike row_number-based top-k. The oracle derives
+    the same rows via ORDER BY ts DESC, event_id DESC row_number. value
+    travels INSIDE the struct (selected, never aggregated), so the
+    double is bit-identical cross-engine raw."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    return ev.groupBy("user_id").agg(m.alias("m")).select(
+        "user_id",
+        epoch_micros(F.col("m.ts")).alias("last_ts_us"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+SQL_LATEST_SNAPSHOT = """
+WITH r AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id, value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
 MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "latest_snapshot": q_latest_snapshot,
     "composite_target": q_composite_target,
     "pivot_event_types": q_pivot_event_types,
     "rollup_orders": q_rollup_orders,
@@ -573,6 +608,7 @@ MISC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 MISC_ORACLE_SQL: dict[str, str] = {
+    "latest_snapshot": SQL_LATEST_SNAPSHOT,
     "composite_target": SQL_COMPOSITE,
     "pivot_event_types": SQL_PIVOT,
     "rollup_orders": SQL_ROLLUP,

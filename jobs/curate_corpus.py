@@ -1,0 +1,266 @@
+"""End-to-end corpus CURATION pipeline — the full publish path a webtext
+training-data team runs, composing every hygiene family in this repo in
+the order a real pipeline applies them, checkpointed and resumable with
+per-stage drop accounting:
+
+  1. text signals: quality score + language ID + PII counts (one scan,
+     pure JVM — reference analog: the per-segment signal derivation in
+     matching.pyc's preprocessing, generalized to corpus hygiene)
+  2. quality gate            (drops low-quality docs)
+  3. repetition gates        (Gopher word/n-gram AND duplicate-line
+                              families — boilerplate/scraper loops)
+  4. exact dedup             (content-hash groupBy, min-id keeper)
+  5. MinHash+LSH near-dup    (verified Jaccard, transitive closure,
+                              min-id survivor)
+  6. decontamination         (probe n-gram broadcast — benchmark text
+                              must not leak into training data)
+  7. PII scrub + publish     (masking is the LAST step so dedup/audits
+                              run on ingest bytes; byte-identity of
+                              surviving text is asserted JUST BEFORE the
+                              scrub rewrites it)
+
+Every stage is a Pipeline table (plans/checkpoint.py): a re-run skips
+committed stages, and the returned stats double as the drop ledger
+(rows in/out per gate — no silent drops anywhere).
+
+    python jobs/curate_corpus.py --rows 50000 --out /tmp/fes_curate
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from feature_engineering_spark.functions.text import lang_id, quality_score  # noqa: E402
+from feature_engineering_spark.operators.contamination import (  # noqa: E402
+    contamination_report,
+)
+from feature_engineering_spark.operators.dedup import dedup_exact  # noqa: E402
+from feature_engineering_spark.operators.pii import (  # noqa: E402
+    pii_counts,
+    scrub_text,
+)
+from feature_engineering_spark.operators.repetition import (  # noqa: E402
+    filter_repetitive,
+    filter_repetitive_lines,
+)
+from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
+from feature_engineering_spark.session import get_spark  # noqa: E402
+
+# Benchmark probe sentences (stand-in for a real eval set's documents).
+# Deliberately multi-word so 3-gram probes are specific, not boilerplate.
+PROBE_TEXTS = (
+    "the quick probe benchmark sentence about gradient descent",
+    "a held out evaluation question concerning spark shuffles",
+)
+
+
+def synth_input(spark, out_root: str, n_rows: int):
+    """Deterministic corpus with PLANTED artifacts for every gate, so the
+    job demonstrably removes what each stage exists to remove. Layers are
+    keyed off a content hash (stable across runs/parallelism):
+      h%100 in [0,5)   -> exact copy appended         (exact dedup)
+      h%100 in [5,10)  -> near copy (one-token edit)  (near-dup)
+      h%100 in [10,12) -> text replaced by a repeated phrase (repetition)
+      h%100 in [12,14) -> a probe sentence appended   (decontamination)
+      h%100 in [14,17) -> an email + phone appended   (PII scrub)
+    """
+    from feature_engineering_spark.sources.pages import write_pages_parquet
+
+    path = os.path.join(out_root, "_input", "pages.parquet")
+    if not os.path.exists(path):
+        write_pages_parquet(path, n_rows, seed=42)
+    df = spark.read.parquet(path).select("url", "warc_ts", "text")
+    h = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(100))
+
+    base = df.withColumn("__layer", F.lit(0))
+    exact = df.where(h < 5).withColumn("__layer", F.lit(1))
+    near = (
+        df.where((h >= 5) & (h < 10))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+        .withColumn("__layer", F.lit(2))
+    )
+    rep = df.where((h >= 10) & (h < 12)).withColumn(
+        "text",
+        F.concat_ws(" ", F.array_repeat(F.lit("buy cheap widgets now"), 40)),
+    ).withColumn("__layer", F.lit(3))
+    contam = df.where((h >= 12) & (h < 14)).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" " + " ".join(PROBE_TEXTS))),
+    ).withColumn("__layer", F.lit(4))
+    pii = df.where((h >= 14) & (h < 17)).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact bob@site.example.com +4915123456789")),
+    ).withColumn("__layer", F.lit(5))
+
+    allrows = base
+    for extra in (exact, near, rep, contam, pii):
+        allrows = allrows.unionByName(extra)
+    # content-derived id: survivor sets are a pure function of the corpus
+    # (jobs/dedup_corpus.py precedent; r3 verdict fix)
+    return allrows.withColumn(
+        "doc_id", F.xxhash64("url", "warc_ts", "text", "__layer")
+    ).drop("__layer").withColumn("ingest_sha", F.sha2("text", 256))
+
+
+def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
+        jaccard: float = 0.6) -> dict:
+    p = Pipeline(spark, out_root)
+    probes = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PROBE_TEXTS)], "probe_id long, text string"
+    )
+
+    pages = p.stage("pages", lambda: synth_input(spark, out_root, n_rows),
+                    ts_col="warc_ts")
+    n0 = pages.count()
+
+    def build_scored():
+        c = pii_counts(F.col("text"))
+        return (
+            pages.withColumn("quality", quality_score(F.col("text")))
+            .withColumn("lang_guess", lang_id(F.col("text")))
+            .withColumn("n_pii", c["email"] + c["ipv4"] + c["phone"])
+        )
+
+    scored = p.stage("scored", build_scored, ts_col="warc_ts")
+
+    quality_ok = p.stage(
+        "quality_gate",
+        lambda: scored.where(F.col("quality") >= min_quality),
+        ts_col="warc_ts",
+    )
+    n1 = quality_ok.count()
+
+    def build_rep_gate():
+        # word/n-gram family (Gopher per-n char-coverage + dup-word gates)
+        # then the duplicate-line family over synthesized line structure
+        kept = filter_repetitive(
+            quality_ok, max_dup_word_frac=0.6,
+            max_top_char_frac={2: 0.20, 3: 0.18, 4: 0.16},
+        )
+        return filter_repetitive_lines(kept)
+
+    rep_ok = p.stage("repetition_gate", build_rep_gate, ts_col="warc_ts")
+    n2 = rep_ok.count()
+
+    def build_exact():
+        keep = dedup_exact(rep_ok, text="text", id_col="doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return rep_ok.join(keep, "doc_id", "left_semi")
+
+    exact = p.stage("exact_dedup", build_exact, ts_col="warc_ts")
+    n3 = exact.count()
+
+    lsh_parts: dict = {}
+
+    def build_neardup():
+        from feature_engineering_spark.operators.dedup import (
+            minhash_lsh_dedup_parts,
+        )
+        from feature_engineering_spark.operators.graph import (
+            dedup_keep_canonical,
+        )
+
+        pairs, banded, shingles = minhash_lsh_dedup_parts(
+            exact, text="text", id_col="doc_id", threshold=jaccard
+        )
+        lsh_parts.update(banded=banded, shingles=shingles)
+        return dedup_keep_canonical(exact, pairs, id_col="doc_id")
+
+    deduped = p.stage("neardup_dedup", build_neardup, ts_col="warc_ts")
+    n4 = deduped.count()
+
+    # no-silent-caps: what did the LSH bucket cap discard (fresh run
+    # audits the banding actually used while its shingle cache is still
+    # warm, then releases it; a resume skipped the stage, so nothing to
+    # audit — the committed run already reported it)
+    from feature_engineering_spark.operators.dedup import (
+        lsh_dropped_bucket_stats,
+    )
+
+    if lsh_parts:
+        drop_row = lsh_dropped_bucket_stats(
+            lsh_parts["banded"], max_bucket_size=64
+        ).collect()[0]
+        lsh_parts["shingles"].unpersist()
+        lsh_dropped = {
+            "lsh_dropped_buckets": int(drop_row["n_dropped_buckets"] or 0),
+            "lsh_dropped_rows": int(drop_row["n_dropped_rows"] or 0),
+        }
+    else:
+        lsh_dropped = {}
+
+    def build_decontam():
+        bad = contamination_report(
+            deduped, probes, text="text", id_col="doc_id", n=3, min_hits=2
+        )
+        return deduped.join(bad.select("doc_id"), "doc_id", "left_anti")
+
+    decontam = p.stage("decontaminated", build_decontam, ts_col="warc_ts")
+    n5 = decontam.count()
+
+    # byte-identity audit of everything that SURVIVED, on ingest bytes,
+    # immediately before the scrub legitimately rewrites them
+    corrupted = decontam.where(
+        F.sha2("text", 256) != F.col("ingest_sha")
+    ).count()
+
+    def build_published():
+        return (
+            decontam.withColumn("text", scrub_text(F.col("text")))
+            .withColumn("published_sha", F.sha2("text", 256))
+            .drop("ingest_sha")
+        )
+
+    published = p.stage("published", build_published, ts_col="warc_ts")
+    n6 = published.count()
+    masked = published.where(F.col("n_pii") > 0).count()
+    # the scrub must leave NOTHING matching the PII patterns
+    c = pii_counts(F.col("text"))
+    residual = published.where((c["email"] + c["ipv4"] + c["phone"]) > 0).count()
+
+    stats = {
+        "input": n0,
+        "after_quality": n1,
+        "after_repetition": n2,
+        "after_exact": n3,
+        "after_neardup": n4,
+        "after_decontam": n5,
+        "published": n6,
+        "dropped_quality": n0 - n1,
+        "dropped_repetition": n1 - n2,
+        "dropped_exact": n2 - n3,
+        "dropped_neardup": n3 - n4,
+        "dropped_contaminated": n4 - n5,
+        "pii_docs_masked": masked,
+        "pii_residual_docs": residual,
+        "byte_identity_violations": corrupted,
+        **lsh_dropped,
+    }
+    assert corrupted == 0
+    assert residual == 0
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=50_000)
+    ap.add_argument("--out", default="/tmp/fes_curate")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--jaccard", type=float, default=0.6)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark("curate_corpus", master=args.master)
+    print(json.dumps(run(spark, args.out, args.rows,
+                         args.min_quality, args.jaccard)))
+
+
+if __name__ == "__main__":
+    main()

@@ -521,3 +521,75 @@ def test_embed_incremental_matches_full_lsh(spark):
     assert len(cross) >= 10  # 12 planted corpus near-dups, SRP recall high
     in_batch = {(a, b) for (a, b) in got if a in batch_ids}
     assert len(in_batch) >= 3  # 4 planted in-batch pairs
+
+
+def test_line_repetition_hand_rows(spark):
+    """Hand-computed duplicate-line signals: occurrence-weighted dup
+    fraction, char coverage over non-space chars, empty-line skipping."""
+    from feature_engineering_spark.operators.repetition import (
+        filter_repetitive_lines,
+        line_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # lines: "ab cd" x2 + "ef" -> 3 occurrences, 2 dup;
+            # nonspace chars 4+4+2=10, dup chars 8
+            (1, "ab cd\nab cd\nef"),
+            (2, "one\ntwo\nthree"),          # all unique
+            (3, "\n\nx\n\n"),                # empty lines skipped -> 1 line
+            (4, ""),                          # no non-empty lines: omitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_repetition_signals(docs).collect()}
+    assert set(got) == {1, 2, 3}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - 0.666666) < 1e-12   # floor(2e6/3)/1e6
+    assert abs(r1["dup_line_char_frac"] - 0.8) < 1e-12   # 8/10
+
+    r2 = got[2]
+    assert r2["n_lines"] == 3
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_line_char_frac"] == 0.0
+
+    assert got[3]["n_lines"] == 1 and got[3]["dup_line_frac"] == 0.0
+
+    kept = sorted(r["doc_id"] for r in filter_repetitive_lines(docs).collect())
+    assert kept == [2, 3, 4]  # doc 1 over both gates; empty doc 4 KEPT
+
+    # paragraph variant: blank-line separator groups lines into paragraphs
+    para = spark.createDataFrame(
+        [(1, "p q\n\np q\n\nr")], "doc_id long, text string"
+    )
+    r = line_repetition_signals(para, sep="\n\n").collect()[0]
+    assert r["n_lines"] == 3 and abs(r["dup_line_frac"] - 0.666666) < 1e-12
+
+
+def test_line_corpus_dedup_c4_style(spark):
+    """Corpus-LEVEL line dedup: a line occurring >= min_count times
+    across the whole corpus is removed from every doc; docs rebuilt in
+    order; all-lines-removed docs drop; empty lines are structural."""
+    from feature_engineering_spark.operators.dedup import line_corpus_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nalpha beta\nfoot"),
+            (2, "nav\ngamma delta\nfoot"),
+            (3, "nav\nepsilon\nfoot"),
+            (4, "nav"),                    # boilerplate-only -> dropped
+            (5, "x\n\nx"),                 # "x" only twice -> kept whole
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_corpus_dedup(docs, min_count=3).collect()}
+    assert set(got) == {1, 2, 3, 5}        # doc 4 lost every line
+
+    assert got[1]["text"] == "alpha beta"
+    assert got[1]["n_lines_kept"] == 1 and got[1]["n_lines_removed"] == 2
+    assert got[2]["text"] == "gamma delta"
+    assert got[3]["text"] == "epsilon"
+    # empty line preserved in place, nothing removed
+    assert got[5]["text"] == "x\n\nx"
+    assert got[5]["n_lines_kept"] == 3 and got[5]["n_lines_removed"] == 0

@@ -98,13 +98,18 @@ print(json.dumps({{"cpus": int(cpus), "wall_s": round(wall, 2),
 def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 1200.0) -> float:
     """The sandbox host is shared; a two-point scaling comparison is only
     meaningful when external tenants aren't eating the cores. Block until
-    1-min loadavg < max_load (or timeout) and return the load we saw."""
+    1-min loadavg < max_load (or timeout; timeout_s=None waits forever —
+    historical ledger: every clean (N,4N) pair came at ambient < ~4, so a
+    patient campaign beats measuring at load 5.9 just under the gate)
+    and return the load we saw."""
     import time
 
     t0 = time.monotonic()
     while True:
         load = float(open("/proc/loadavg").read().split()[0])
-        if load < max_load or time.monotonic() - t0 > timeout_s:
+        if load < max_load or (
+            timeout_s is not None and time.monotonic() - t0 > timeout_s
+        ):
             return load
         time.sleep(20)
 
@@ -144,10 +149,11 @@ def code_sha() -> str:
     return f"gen@{h.hexdigest()[:10]}"
 
 
-def measure(cpus: int, pages: str, labels: str, rows: int) -> dict:
+def measure(cpus: int, pages: str, labels: str, rows: int,
+            max_load: float = 6.0, timeout_s: float | None = 1200.0) -> dict:
     script = CHILD.format(repo=REPO)
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # don't GC-throttle 32 tasks
-    load = wait_for_quiet()
+    load = wait_for_quiet(max_load, timeout_s)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), pages, labels, str(rows)],
         capture_output=True, text=True, timeout=1800, env=env,

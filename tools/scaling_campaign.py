@@ -173,6 +173,11 @@ def main() -> None:
     ap.add_argument("--loops", type=int, default=6)
     ap.add_argument("--pairs", default="2,8,4",
                     help="comma-separated base parallelisms; each measures (n, 4n)")
+    ap.add_argument("--max-load", type=float, default=6.0,
+                    help="quiet gate: WAIT (indefinitely) for 1-min loadavg "
+                    "below this before each point — the ledger shows clean "
+                    "pairs only ever came from ambient < ~4, so a patient "
+                    "low gate beats measuring at 5.9")
     args = ap.parse_args()
     pairs = tuple(int(p) for p in args.pairs.split(","))
     base = "/tmp/fes_scaling"
@@ -182,8 +187,10 @@ def main() -> None:
     for loop in range(args.loops):
         for n in pairs:
             try:
-                tn = measure(n, pages, labels, args.rows)
-                t4n = measure(4 * n, pages, labels, args.rows)
+                tn = measure(n, pages, labels, args.rows,
+                             max_load=args.max_load, timeout_s=None)
+                t4n = measure(4 * n, pages, labels, args.rows,
+                              max_load=args.max_load, timeout_s=None)
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"loop": loop, "n": n, "error": str(e)[:200]}),
                       flush=True)
