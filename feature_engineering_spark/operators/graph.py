@@ -139,3 +139,41 @@ def dedup_keep_canonical(
     return df.join(
         drops.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: instead of keeping the minimum
+    doc id of each near-dup cluster (dedup_keep_canonical), keep its
+    HIGHEST-QUALITY member — the standard web-corpus practice (RefinedWeb
+    and friends keep the longest/cleanest near-duplicate, since scraper
+    variants of one page differ in truncation and boilerplate).
+
+    ``clusters`` is the (doc_id, canonical_id) output of dedup_clusters;
+    ``docs`` supplies ``quality_col`` (length, quality_score, anything
+    totally ordered). Ties break to the smallest doc id, so the pick is
+    deterministic: argmin of the struct (-quality, doc_id).
+
+    Returns (canonical_id, rep_doc_id, rep_quality, n_members). Scale
+    shape: one join on doc id (cluster table is co-keyed with the corpus)
+    and ONE map-side-combined min-of-structs groupBy — no window, no
+    shuffle+sort of the full corpus (latest_snapshot precedent).
+    """
+    j = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col).alias("__q")), id_col
+    )
+    pick = F.min(F.struct((-F.col("__q")).alias("nq"), F.col(id_col).alias("i")))
+    return (
+        j.groupBy("canonical_id")
+        .agg(pick.alias("m"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "canonical_id",
+            F.col("m.i").alias("rep_doc_id"),
+            (-F.col("m.nq")).alias("rep_quality"),
+            "n_members",
+        )
+    )

@@ -152,3 +152,60 @@ def deterministic_sample(
                16, 10).cast("long") % F.lit(1_000_000)
     )
     return df.where(bucket < int(rate * 1_000_000))
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    key: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Deterministic data MIXING: downsample each domain so the output
+    follows the target proportions ``weights`` (DoReMi / The Pile style
+    domain reweighting), at the largest corpus size the observed counts
+    allow. With observed counts n_d and targets pi_d, the feasible output
+    size is S = min_d(n_d / pi_d); each domain keeps rate_d =
+    (pi_d * S) / n_d of its rows via the same content-addressed md5
+    bucket as deterministic_sample, so membership is a pure function of
+    the key and the mix is reproducible across runs and engines. Domains
+    absent from ``weights`` are dropped (weight zero).
+
+    Returns the sampled rows (all original columns). Scale shape: the
+    per-domain counts are ONE map-side-combined groupBy (|domains| rows);
+    targets and the single-row S ride in as broadcasts; the acceptance
+    test is a scan-side expression — no second shuffle of the data, no
+    driver-side collect.
+
+    Cross-engine exactness: rate_d is computed as (pi_d * S) / n_d in
+    that exact operation order, then FLOOR(rate * 1e6) — every step is
+    an IEEE double op both engines perform identically, so the integer
+    thresholds match bit-for-bit (no ROUND anywhere).
+    """
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(d, float(p)) for d, p in sorted(weights.items())],
+        f"{domain_col} string, pi double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    per_dom = counts.join(F.broadcast(w), domain_col)
+    s = per_dom.agg(
+        F.min(F.col("n_d") / F.col("pi")).alias("s_max")
+    )
+    rates = per_dom.crossJoin(F.broadcast(s)).select(
+        domain_col,
+        F.floor(
+            F.least(F.lit(1.0), (F.col("pi") * F.col("s_max")) / F.col("n_d"))
+            * F.lit(1_000_000.0)
+        ).alias("thr"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key))), 1, 15),
+               16, 10).cast("long") % F.lit(1_000_000)
+    )
+    return (
+        df.withColumn("__b", bucket)
+        .join(F.broadcast(rates), domain_col)
+        .where(F.col("__b") < F.col("thr"))
+        .drop("__b", "thr")
+    )

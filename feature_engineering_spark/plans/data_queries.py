@@ -1165,6 +1165,164 @@ WHERE ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0), 6) >= 2.0
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_score.unigram_nll):
+    per-doc average negative log-likelihood under an add-one unigram LM
+    trained on the corpus itself. Lower = more ordinary text. The oracle
+    re-derives the LM table, totals, and per-doc average in SQL; avg_nll
+    is ROUND(6) on both sides (order-summed ln terms, tfidf precedent)."""
+    from feature_engineering_spark.operators.lm_score import unigram_nll
+
+    d = _docs(spark, sf_dir)
+    return unigram_nll(d).select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "avg_nll"
+    )
+
+
+SQL_LM_PERPLEXITY = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term != ''
+), lm AS (
+  SELECT term, COUNT(*) AS c FROM tok2 GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_tok, COUNT(*) AS v_size FROM lm
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+         ln(lm.c + 1.0) - ln(CAST(tot.t_tok + tot.v_size AS DOUBLE)) AS lp
+  FROM tf JOIN lm USING (term), tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       ROUND(-SUM(tf * lp) / SUM(tf), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (operators/graph.
+    cluster_representatives): close the hash-verified MinHash pair set
+    into clusters, then keep each cluster's LONGEST member (ties ->
+    smallest id) instead of the minimum id — the RefinedWeb-style "keep
+    the cleanest variant" policy. One min-of-structs aggregate, no
+    window. The oracle closes the same edge set recursively and picks
+    representatives with a row_number."""
+    from feature_engineering_spark.operators.dedup import minhash_lsh_dedup
+    from feature_engineering_spark.operators.graph import (
+        cluster_representatives,
+        dedup_clusters,
+    )
+
+    d = _docs_with_dupes(spark, sf_dir)
+    pairs = minhash_lsh_dedup(d, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    docs_q = d.select("doc_id", F.length("text").alias("q"))
+    return cluster_representatives(clusters, docs_q, "q").select(
+        "canonical_id",
+        "rep_doc_id",
+        F.col("rep_quality").cast("long").alias("rep_quality"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+SQL_CLUSTER_REPS = f"""
+WITH clus AS ({SQL_DEDUP_CLUSTERS}),
+d AS ({SQL_DOCS_WITH_DUPES}),
+j AS (
+  SELECT c.canonical_id, c.doc_id, length(d.text) AS q
+  FROM clus c JOIN d USING (doc_id)
+),
+r AS (
+  SELECT canonical_id, doc_id, q,
+         row_number() OVER (PARTITION BY canonical_id
+                            ORDER BY q DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY canonical_id) AS n_members
+  FROM j
+)
+SELECT canonical_id, doc_id AS rep_doc_id, CAST(q AS BIGINT) AS rep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""
+
+
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting (operators/split.
+    domain_mix_sample): downsample languages to the DoReMi-style target
+    mix at the largest feasible corpus size, membership a pure function
+    of doc_id (md5 bucket). The oracle recomputes counts, the feasible
+    size S = min(n_d/pi_d), and the per-domain thresholds with the same
+    IEEE operation order — integer thresholds match bit-for-bit."""
+    from feature_engineering_spark.operators.split import domain_mix_sample
+
+    d = _docs(spark, sf_dir)
+    return domain_mix_sample(d, _MIX_WEIGHTS).select("doc_id", "lang", "n_chars")
+
+
+SQL_DOMAIN_MIX = """
+WITH w(lang, pi) AS (
+  VALUES ('de', 0.1), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.2)
+),
+c AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY lang),
+pd AS (SELECT c.lang, c.n_d, w.pi FROM c JOIN w USING (lang)),
+s AS (SELECT MIN(n_d / pi) AS s_max FROM pd),
+r AS (
+  SELECT lang,
+         FLOOR(LEAST(1.0, (pi * s_max) / n_d) * 1000000.0) AS thr
+  FROM pd, s
+),
+b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(concat('0x', substr(md5(concat('mix0', ':', doc_id)), 1, 15)) AS BIGINT)
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM b JOIN r USING (lang) WHERE bucket < thr
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_chunks): docs in
+    content-hash order are concatenated per shard and cut every 512
+    tokens; each doc reports the chunk its first token lands in and the
+    offset inside it. Pure integer arithmetic (integer `div`), so the
+    oracle's window cumsum matches bit-for-bit."""
+    from feature_engineering_spark.operators.packing import pack_chunks
+
+    d = _docs(spark, sf_dir)
+    return pack_chunks(d, max_tokens=512, n_shards=8)
+
+
+SQL_PACK_CHUNKS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('pack0', ':', doc_id)), 1, 15)) AS BIGINT)
+           AS hv,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, hv % 8 AS shard, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+              - n_tok AS BIGINT) AS ce
+  FROM h
+)
+SELECT doc_id, shard, n_tok,
+       CAST(shard * 4294967296 + ce // 512 AS BIGINT) AS chunk_id,
+       ce % 512 AS chunk_offset
+FROM c
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end check of the multimodal path: deterministic FMM1
@@ -1248,6 +1406,10 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "line_repetition": q_line_repetition,
     "line_dedup": q_line_dedup,
+    "lm_perplexity": q_lm_perplexity,
+    "cluster_reps": q_cluster_reps,
+    "domain_mix": q_domain_mix,
+    "pack_chunks": q_pack_chunks,
     "simhash_neardup": q_simhash_neardup,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1275,6 +1437,10 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "repetition_signals": SQL_REPETITION,
     "line_repetition": SQL_LINE_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "cluster_reps": SQL_CLUSTER_REPS,
+    "domain_mix": SQL_DOMAIN_MIX,
+    "pack_chunks": SQL_PACK_CHUNKS,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_incremental": SQL_EMBED_INCREMENTAL,
