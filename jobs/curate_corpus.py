@@ -42,6 +42,8 @@ from feature_engineering_spark.operators.contamination import (  # noqa: E402
     contamination_report,
 )
 from feature_engineering_spark.operators.dedup import dedup_exact  # noqa: E402
+from feature_engineering_spark.operators.lm_score import filter_by_nll  # noqa: E402
+from feature_engineering_spark.operators.packing import pack_chunks  # noqa: E402
 from feature_engineering_spark.operators.pii import (  # noqa: E402
     pii_counts,
     scrub_text,
@@ -50,6 +52,7 @@ from feature_engineering_spark.operators.repetition import (  # noqa: E402
     filter_repetitive,
     filter_repetitive_lines,
 )
+from feature_engineering_spark.operators.split import domain_mix_sample  # noqa: E402
 from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
 from feature_engineering_spark.session import get_spark  # noqa: E402
 
@@ -70,13 +73,16 @@ def synth_input(spark, out_root: str, n_rows: int):
       h%100 in [10,12) -> text replaced by a repeated phrase (repetition)
       h%100 in [12,14) -> a probe sentence appended   (decontamination)
       h%100 in [14,17) -> an email + phone appended   (PII scrub)
+      h%100 in [17,20) -> text replaced by 120 globally-unique tokens
+                          (gibberish: passes the quality heuristic but
+                          scores extreme unigram NLL -> LM gate)
     """
     from feature_engineering_spark.sources.pages import write_pages_parquet
 
     path = os.path.join(out_root, "_input", "pages.parquet")
     if not os.path.exists(path):
         write_pages_parquet(path, n_rows, seed=42)
-    df = spark.read.parquet(path).select("url", "warc_ts", "text")
+    df = spark.read.parquet(path).select("url", "warc_ts", "text", "lang")
     h = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(100))
 
     base = df.withColumn("__layer", F.lit(0))
@@ -98,9 +104,25 @@ def synth_input(spark, out_root: str, n_rows: int):
         "text",
         F.concat(F.col("text"), F.lit(" contact bob@site.example.com +4915123456789")),
     ).withColumn("__layer", F.lit(5))
+    gibberish = df.where((h >= 17) & (h < 20)).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(120)),
+                lambda i: F.concat(
+                    F.lit("zq"),
+                    F.conv(
+                        F.abs(F.xxhash64(F.col("url"), F.col("warc_ts"), i)),
+                        10, 36,
+                    ),
+                ),
+            ),
+        ),
+    ).withColumn("__layer", F.lit(6))
 
     allrows = base
-    for extra in (exact, near, rep, contam, pii):
+    for extra in (exact, near, rep, contam, pii, gibberish):
         allrows = allrows.unionByName(extra)
     # content-derived id: survivor sets are a pure function of the corpus
     # (jobs/dedup_corpus.py precedent; r3 verdict fix)
@@ -110,7 +132,8 @@ def synth_input(spark, out_root: str, n_rows: int):
 
 
 def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
-        jaccard: float = 0.6) -> dict:
+        jaccard: float = 0.6, max_nll: float = 8.0,
+        mix: dict[str, float] | None = None) -> dict:
     p = Pipeline(spark, out_root)
     probes = spark.createDataFrame(
         [(i, t) for i, t in enumerate(PROBE_TEXTS)], "probe_id long, text string"
@@ -149,11 +172,21 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
     rep_ok = p.stage("repetition_gate", build_rep_gate, ts_col="warc_ts")
     n2 = rep_ok.count()
 
+    # CCNet-style perplexity head: gibberish passes the surface-quality
+    # heuristic (long, alpha-heavy) but its globally-unique tokens give
+    # it an extreme unigram NLL; common text sits far below max_nll
+    lm_ok = p.stage(
+        "lm_gate",
+        lambda: filter_by_nll(rep_ok, max_nll=max_nll, id_col="doc_id"),
+        ts_col="warc_ts",
+    )
+    n2b = lm_ok.count()
+
     def build_exact():
-        keep = dedup_exact(rep_ok, text="text", id_col="doc_id").select(
+        keep = dedup_exact(lm_ok, text="text", id_col="doc_id").select(
             F.col("keep_id").alias("doc_id")
         )
-        return rep_ok.join(keep, "doc_id", "left_semi")
+        return lm_ok.join(keep, "doc_id", "left_semi")
 
     exact = p.stage("exact_dedup", build_exact, ts_col="warc_ts")
     n3 = exact.count()
@@ -226,19 +259,44 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
     c = pii_counts(F.col("text"))
     residual = published.where((c["email"] + c["ipv4"] + c["phone"]) > 0).count()
 
+    # domain reweighting to the target language mix (largest feasible
+    # size), then fixed-token-budget packing — the tokenizer-facing
+    # artifact a pretraining run consumes
+    target_mix = mix or {"en": 0.4, "de": 0.3, "da": 0.2, "fr": 0.1}
+    mixed = p.stage(
+        "mixed",
+        lambda: domain_mix_sample(
+            published, target_mix, domain_col="lang", key="doc_id"
+        ),
+        ts_col="warc_ts",
+    )
+    n7 = mixed.count()
+
+    packed = p.stage(
+        "packed",
+        lambda: pack_chunks(mixed, max_tokens=1024, n_shards=32),
+        ts_col=None,
+    )
+    n_chunks = packed.select("chunk_id").distinct().count()
+
     stats = {
         "input": n0,
         "after_quality": n1,
         "after_repetition": n2,
+        "after_lm": n2b,
         "after_exact": n3,
         "after_neardup": n4,
         "after_decontam": n5,
         "published": n6,
+        "mixed": n7,
+        "n_chunks": n_chunks,
         "dropped_quality": n0 - n1,
         "dropped_repetition": n1 - n2,
-        "dropped_exact": n2 - n3,
+        "dropped_lm": n2 - n2b,
+        "dropped_exact": n2b - n3,
         "dropped_neardup": n3 - n4,
         "dropped_contaminated": n4 - n5,
+        "dropped_mix": n6 - n7,
         "pii_docs_masked": masked,
         "pii_residual_docs": residual,
         "byte_identity_violations": corrupted,
@@ -255,11 +313,12 @@ def main():
     ap.add_argument("--out", default="/tmp/fes_curate")
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--jaccard", type=float, default=0.6)
+    ap.add_argument("--max-nll", type=float, default=8.0)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     spark = get_spark("curate_corpus", master=args.master)
     print(json.dumps(run(spark, args.out, args.rows,
-                         args.min_quality, args.jaccard)))
+                         args.min_quality, args.jaccard, args.max_nll)))
 
 
 if __name__ == "__main__":

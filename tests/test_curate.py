@@ -18,6 +18,7 @@ def test_curate_end_to_end_and_resume(spark, tmp_path):
     assert stats["input"] > 3000
     # each gate with a planted family must account for real drops
     assert stats["dropped_repetition"] > 0      # planted repeated-phrase docs
+    assert stats["dropped_lm"] > 0              # planted unique-token gibberish
     assert stats["dropped_exact"] > 0           # planted exact copies
     assert stats["dropped_neardup"] > 0         # planted one-token edits
     assert stats["dropped_contaminated"] > 0    # planted probe sentences
@@ -26,10 +27,13 @@ def test_curate_end_to_end_and_resume(spark, tmp_path):
     assert stats["pii_residual_docs"] == 0
     assert stats["byte_identity_violations"] == 0
     assert stats["published"] == stats["after_decontam"]
+    # mixing keeps a nonempty subset; packing emits full chunks
+    assert 0 < stats["mixed"] <= stats["published"]
+    assert stats["n_chunks"] > 0
     # monotone funnel
     funnel = [stats[k] for k in (
-        "input", "after_quality", "after_repetition", "after_exact",
-        "after_neardup", "after_decontam",
+        "input", "after_quality", "after_repetition", "after_lm",
+        "after_exact", "after_neardup", "after_decontam",
     )]
     assert funnel == sorted(funnel, reverse=True)
 
@@ -64,5 +68,20 @@ def test_curate_end_to_end_and_resume(spark, tmp_path):
     events = [json.loads(l) for l in open(f"{root}/_metrics.jsonl")]
     committed = [e for e in events if e["status"] == "committed"]
     skipped = [e for e in events if e["status"] == "skipped_existing"]
-    # 8 stages built exactly once, then all 8 skipped on resume
-    assert len(committed) == 8 and len(skipped) == 8
+    # 11 stages built exactly once, then all 11 skipped on resume
+    assert len(committed) == 11 and len(skipped) == 11
+
+    # the mix respects the target ordering: en is the largest bucket
+    mixed = spark.read.parquet(f"{root}/mixed")
+    by_lang = {r["lang"]: r["n"] for r in
+               mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_lang) <= {"en", "de", "da", "fr"}
+    assert by_lang["en"] == max(by_lang.values())
+
+    # packing: offsets inside the budget, chunk ids shard-consistent
+    packed = spark.read.parquet(f"{root}/packed")
+    assert packed.where((F.col("chunk_offset") < 0)
+                        | (F.col("chunk_offset") >= 1024)).count() == 0
+    assert packed.where(
+        F.expr("chunk_id div 4294967296") != F.col("shard")
+    ).count() == 0
