@@ -938,21 +938,60 @@ def line_corpus_dedup(
     Cross-engine: the ``line_dedup`` query's DuckDB oracle mirrors the
     split / count / anti-join / ordered string_agg exactly.
     """
+    lines = _split_lines(docs, text, id_col, sep)
+    bad = (
+        line_counts(docs, text=text, sep=sep)
+        .where(F.col("c") >= min_count)
+        .select("line")
+    )
+    return _rebuild_docs(docs, lines, bad, text, id_col, sep)
+
+
+def _split_lines(
+    docs: DataFrame, text: str, id_col: str, sep: str
+) -> DataFrame:
+    """(id, pos, line) — one row per separator-delimited line."""
     import re
 
-    lines = docs.select(
+    return docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text), re.escape(sep))).alias(
             "pos", "line"
         ),
     )
-    bad = (
-        lines.where(F.length("line") > 0)
+
+
+def line_counts(
+    docs: DataFrame, text: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """(line, c) frequency table of NON-empty lines — the committable
+    boilerplate index for incremental corpus-level line dedup (one
+    map-side-combined groupBy bounded by distinct lines)."""
+    import re
+
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text), re.escape(sep))).alias("line")
+        )
+        .where(F.length("line") > 0)
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("line")
     )
+
+
+def _rebuild_docs(
+    docs: DataFrame,
+    lines: DataFrame,
+    bad: DataFrame,
+    text: str,
+    id_col: str,
+    sep: str,
+) -> DataFrame:
+    """Drop ``bad`` lines from ``lines`` and reassemble documents in
+    original order; emits (id, text, n_lines_kept, n_lines_removed),
+    omitting docs whose every line was removed."""
+    import re
+
     kept = lines.join(bad, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_sort(
@@ -976,3 +1015,49 @@ def line_corpus_dedup(
             (F.col("__n0") - F.col("n_lines_kept")).alias("n_lines_removed"),
         )
     )
+
+
+def line_dedup_batch_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    sep: str = "\n",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus-level line dedup: strip from an arriving batch
+    every non-empty line whose CUMULATIVE occurrence count — committed
+    ``index`` (a (line, c) table from line_counts) plus this batch —
+    reaches ``min_count``; documents are rebuilt in original order
+    (all-lines-removed docs drop out).
+
+    Returns (cleaned_batch, batch_line_counts). The caller commits
+    batch_line_counts alongside the corpus so the NEXT batch probes
+    index ∪ batch_counts — the same grow-the-index contract as the
+    MinHash/SRP incremental paths. Counts are of RAW arriving lines
+    (including ones stripped here): boilerplate stays counted however
+    often it re-arrives, exactly like C4's corpus-wide counting.
+
+    Scale shape: only the BATCH is split/counted; the committed index —
+    billions of distinct lines for a web corpus — is probed by a join
+    against the batch's distinct lines (broadcast when the batch is
+    small; the index itself is scanned once and never shuffled), so
+    per-batch cost is O(batch) + one index scan, never O(corpus
+    re-split). Early batches can't know future counts — a line only
+    starts being stripped once its cumulative count crosses the
+    threshold; re-cleaning already-committed docs is the batch job
+    (line_corpus_dedup)'s business, run at compaction time.
+    """
+    counts_b = line_counts(batch, text=text, sep=sep)
+    probe = index.join(
+        F.broadcast(counts_b.select("line")), "line", "left_semi"
+    ).groupBy("line").agg(F.sum("c").alias("c_idx"))
+    bad = (
+        counts_b.join(probe, "line", "left")
+        .where(
+            F.col("c") + F.coalesce(F.col("c_idx"), F.lit(0)) >= min_count
+        )
+        .select("line")
+    )
+    lines = _split_lines(batch, text, id_col, sep)
+    return _rebuild_docs(batch, lines, bad, text, id_col, sep), counts_b

@@ -5,6 +5,11 @@ jobs/dedup_corpus.py (which re-processes a whole corpus).
 Per batch k (all stages checkpointed/resumable through plans/checkpoint):
 
   1. commit the raw arrivals (``arrivals_k``);
+  1b. corpus-level line dedup (``cleaned_k`` + ``lines_k``): boilerplate
+     lines whose cumulative count across the committed line index ∪ this
+     batch reaches the threshold are stripped BEFORE signing, so MinHash
+     signatures cover content, not scraper chrome; the batch's raw line
+     counts are committed so later batches probe them too;
   2. near-dup the batch against the corpus via the COMMITTED index tables
      — TWO signals, both index-probed with a broadcast of the batch's
      buckets, only the batch signed:
@@ -52,9 +57,13 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from feature_engineering_spark.operators.dedup import (  # noqa: E402
     dedup_batch_against_corpus as dedup_batch,
+    line_counts,
+    line_dedup_batch_against_index,
     minhash_banded,
     srp_banded,
 )
+
+BOILER = "follow us on social media today"
 
 EMB_DIM = 16
 from feature_engineering_spark.plans.checkpoint import Pipeline  # noqa: E402
@@ -134,7 +143,9 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         lambda: srp_banded(corpus0, EMB_DIM, emb="embedding", id_col="doc_id"),
         ts_col=None,
     )
+    lines0 = p.stage("lines_000", lambda: line_counts(corpus0), ts_col=None)
     corpus_parts, index_parts, eindex_parts = [corpus0], [index0], [eindex0]
+    lines_parts = [lines0]
     stats: dict = {"corpus_initial": corpus0.count(), "batches": []}
 
     # fresh rows: slots [60, 100) split into n_batches equal ranges —
@@ -148,9 +159,18 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
                              "fixture's 40% fresh share (max 40)")
 
         def build_arrivals(lo=lo, hi=hi, k=k):
-            fresh = _with_doc_id(
-                pages.where((slot >= lo) & (slot < hi)), 0
+            # plant scraper boilerplate: ~15% of fresh rows carry the
+            # same trailing line -> its per-batch count crosses the
+            # line-index threshold and the strip stage must remove it
+            raw = pages.where((slot >= lo) & (slot < hi)).withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.xxhash64("url", "warc_ts", F.lit(7)), F.lit(100))
+                    < 15,
+                    F.concat(F.col("text"), F.lit("\n" + BOILER)),
+                ).otherwise(F.col("text")),
             )
+            fresh = _with_doc_id(raw, 0)
             # planted dups: exact + near copies of COMMITTED corpus rows,
             # and an in-batch near-pair, so every drop path is exercised
             seed = pages.where(slot < 60)
@@ -186,12 +206,33 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
 
         arrivals = p.stage(f"arrivals_{k:03d}", build_arrivals, ts_col="warc_ts")
 
+        # corpus-level boilerplate strip BEFORE near-dup (so signatures
+        # are over content, not scraper chrome): cumulative line counts
+        # = committed index ∪ this batch; the raw batch counts are
+        # committed so the NEXT batch probes them too
+        lines_idx = _union(lines_parts)
+
+        def build_cleaned(arrivals=arrivals, lines_idx=lines_idx):
+            cleaned, _ = line_dedup_batch_against_index(
+                arrivals, lines_idx, min_count=3
+            )
+            return arrivals.drop("text").join(
+                cleaned.select("doc_id", "text", "n_lines_removed"), "doc_id"
+            )
+
+        cleaned = p.stage(f"cleaned_{k:03d}", build_cleaned, ts_col="warc_ts")
+        lines_k = p.stage(
+            f"lines_{k:03d}", lambda a=arrivals: line_counts(a), ts_col=None
+        )
+        lines_parts.append(lines_k)
+
         corpus = _union(corpus_parts)
         index = _union(index_parts)
         eindex = _union(eindex_parts)
         out: dict = {}
 
-        def build_survivors(arrivals=arrivals, corpus=corpus, index=index,
+        def build_survivors(arrivals=cleaned.drop("n_lines_removed"),
+                            corpus=corpus, index=index,
                             eindex=eindex, out=out):
             survivors, drops = dedup_batch(
                 arrivals, corpus, index, threshold=threshold,
@@ -222,6 +263,10 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         b = {"batch": k, "arrivals": arrivals.count(),
              "survivors": survivors.count()}
         b["dropped_total"] = b["arrivals"] - b["survivors"]
+        b["boiler_lines_removed"] = int(
+            cleaned.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+        )
+        b["docs_emptied_by_line_dedup"] = b["arrivals"] - cleaned.count()
         if "drops" in out:  # fresh run: reasons are in hand
             reasons = {
                 r["reason"]: r["count"]

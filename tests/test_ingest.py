@@ -39,6 +39,21 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         # planted paraphrase dups (MinHash-blind) flow through the SRP
         # index probe
         assert b["pairs_embed"] > 0, b
+        # planted scraper boilerplate crossed the cumulative line-count
+        # threshold and was stripped before signing
+        assert b["boiler_lines_removed"] > 0, b
+    # the committed cleaned tables carry no exact boilerplate line
+    # anywhere (the ' qq'-mutated variant is a DIFFERENT line and may
+    # legitimately sit under the count threshold)
+    from pyspark.sql import functions as F
+
+    from jobs.ingest_increment import BOILER
+
+    for k in (1, 2):
+        cleaned = spark.read.parquet(f"{root}/cleaned_{k:03d}")
+        assert cleaned.where(
+            F.array_contains(F.split("text", "\n"), BOILER)
+        ).count() == 0
     # corpus accounting is exact: initial + all survivors
     assert stats["corpus_final"] == stats["corpus_initial"] + sum(
         b["survivors"] for b in stats["batches"]

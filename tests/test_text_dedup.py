@@ -593,3 +593,48 @@ def test_line_corpus_dedup_c4_style(spark):
     # empty line preserved in place, nothing removed
     assert got[5]["text"] == "x\n\nx"
     assert got[5]["n_lines_kept"] == 3 and got[5]["n_lines_removed"] == 0
+
+
+def test_line_dedup_incremental_against_index(spark):
+    """A line is stripped from an arriving batch exactly when committed
+    index + batch counts reach min_count; raw batch counts are returned
+    for committing (boilerplate keeps counting even while stripped)."""
+    from feature_engineering_spark.operators.dedup import (
+        line_counts,
+        line_dedup_batch_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "nav\nalpha"), (2, "nav\nbeta"), (3, "x\ngamma")],
+        "doc_id long, text string",
+    )
+    index = line_counts(corpus)  # nav:2, x:1, alpha/beta/gamma:1
+
+    batch = spark.createDataFrame(
+        [
+            (10, "nav\ndelta"),     # nav: 2 (index) + 1 (batch) = 3 -> strip
+            (11, "x\nepsilon"),     # x: 1 + 1 = 2 -> keep
+            (12, "nav"),            # single-line boilerplate doc -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    cleaned, counts_b = line_dedup_batch_against_index(
+        batch, index, min_count=3
+    )
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    assert set(got) == {10, 11}
+    assert got[10]["text"] == "delta" and got[10]["n_lines_removed"] == 1
+    assert got[11]["text"] == "x\nepsilon" and got[11]["n_lines_removed"] == 0
+
+    # raw counts (stripped lines still counted) for the next index part
+    cb = {r["line"]: r["c"] for r in counts_b.collect()}
+    assert cb["nav"] == 2 and cb["x"] == 1
+
+    # next batch probes index ∪ counts_b: one more 'x' now crosses via
+    # accumulation (1 + 1 committed + 1 new = 3)
+    batch2 = spark.createDataFrame([(20, "x\nzeta")], "doc_id long, text string")
+    cleaned2, _ = line_dedup_batch_against_index(
+        batch2, index.unionByName(counts_b), min_count=3
+    )
+    r = cleaned2.collect()[0]
+    assert r["text"] == "zeta" and r["n_lines_removed"] == 1
