@@ -134,16 +134,26 @@ def render(rows: int) -> None:
         "\nWhen the two numbers disagree, the cross-reference is the more",
         "conservative estimate: a single attempt can pair one clean point",
         "with one disturbed point and bias its ratio either way.\n",
-        "## Where the bandwidth wall sits now (round 4)\n",
-        "Streaming the window kernel (BENCH/ANALYSIS.md) removed the",
-        "partition-sized copies that earlier rounds mistook for a ~105k",
-        "docs/s socket ceiling: round-4 code reaches ~170k docs/s at 8",
-        "threads. Per-CPU cost is flat from 1 to 4 threads (within ~2%),",
-        "then DRAM contention begins to bite at 8 — the same shape as",
-        "before, one octave higher. A real 4N-EXECUTOR cluster multiplies",
-        "the bound resource by adding sockets; the only cross-executor",
-        "traffic is the slimmed shuffles (8-byte surrogate keys,",
-        "struct-packed payloads, map-side-combined aggs).\n",
+        "## Where the bandwidth wall sits now (round 5, measured)\n",
+        "Round 4's derivation predated any (4,16) attempts on the streamed",
+        "kernel; round 5 ran a fresh gated (4,16) campaign on HEAD (30",
+        "attempts at ambient 1.8-6.0). The wall is now measured directly",
+        "from per-point minimum CPU-seconds (the undisturbed reference for",
+        "identical work): 330 s at 1 thread, 343 s at 4 (+4%), 390 s at 8",
+        "(+18%), 573 s at 16 (+73%) — and absolute throughput SATURATES at",
+        "~195k docs/s for both 8 and 16 threads (194.1k vs 195.1k best",
+        "observations). So the single-socket DRAM wall sits between 8 and",
+        "16 threads: the streamed kernel pushed it one octave past round",
+        "3's, but the fourth doubling buys ~0% more throughput while",
+        "burning ~1.5x the CPU. That is why the >=0.8 gate passes at (1,4)",
+        "= 0.841 and (2,8) = 0.801 but cannot pass at (4,16) ON ONE SOCKET",
+        "regardless of code quality — 16 local threads share one memory",
+        "bus, which is precisely what a real 4N-EXECUTOR cluster does NOT",
+        "do: executors on separate hosts each bring their own socket, and",
+        "the only cross-executor traffic is the slimmed shuffles (8-byte",
+        "surrogate keys, struct-packed payloads, map-side-combined aggs).",
+        "The evidence that the CODE scales is the flat per-CPU cost",
+        "through 8 threads plus the two in-bandwidth octaves at >=0.8.\n",
         "## All attempts\n",
         "| pair | T(N) | T(4N) | efficiency | ambient load | code |",
         "|---|---|---|---|---|---|",
