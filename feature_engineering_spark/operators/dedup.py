@@ -1061,3 +1061,101 @@ def line_dedup_batch_against_index(
     )
     lines = _split_lines(batch, text, id_col, sep)
     return _rebuild_docs(batch, lines, bad, text, id_col, sep), counts_b
+
+
+# ------------------------------------------------------- winnowing
+# Partial-overlap detection: MinHash sees WHOLE-document similarity and
+# line dedup sees EXACT line repeats; neither catches one document
+# embedding a paragraph of another inside otherwise-different text (the
+# case suffix-array substring dedup targets). Winnowing (the MOSS
+# document-fingerprinting scheme) is the bucketable approximation: any
+# shared token run of >= w + k - 1 tokens is GUARANTEED to contribute at
+# least one common selected fingerprint, so substring containment
+# becomes a plain equi-join on fingerprint values.
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id_col, fp) — distinct winnowed fingerprints per document.
+
+    Token k-gram hashes h_1..h_G (md5-derived 60-bit integers, exact in
+    any engine) are reduced by min over every sliding window of ``w``
+    consecutive hashes; the distinct window minima are the document's
+    fingerprints. Documents with fewer than ``w`` k-grams contribute
+    their single global minimum (the degenerate window); documents with
+    no k-gram (fewer than ``k`` tokens) contribute nothing.
+
+    All scan-side JVM array expressions (split -> transform/slice ->
+    array_min), zero shuffle, zero Python — the selection keeps ~1/w of
+    positions, so the exploded output is a bounded fraction of the
+    token stream. Guarantee: any shared run of >= w + k - 1 tokens
+    yields >= 1 shared fingerprint (Schleimer et al., SIGMOD'03).
+    """
+    toks = F.split(F.col(text), " ")
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), m - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    few = F.array(F.array_min(hs))  # G <= w: one degenerate window
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - w + 1),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+    )
+    fps = F.when(m < k, F.array().cast("array<long>")).when(
+        F.size(hs) <= w, few
+    ).otherwise(wins)
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_doc_cap: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(a, b, n_shared) — unordered document pairs sharing at least
+    ``min_shared`` winnowed fingerprints (a < b).
+
+    Scale shape: the ONLY shuffle is the equi-join on fingerprint value
+    (fingerprints ARE the buckets, same as LSH banding). Fingerprints
+    shared by more than ``fp_doc_cap`` documents are boilerplate k-gram
+    runs (nav bars, licence blocks — corpus-level line dedup's business)
+    and would quadratically blow the self-join, so they are dropped with
+    accounting in ``stats`` (``fp_hot``, ``fp_hot_docrows``) — the same
+    no-silent-caps contract as the LSH bucket cap."""
+    fps = winnow_fingerprints(df, text=text, id_col=id_col, k=k, w=w)
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = counts.where(F.col("n_docs") > fp_doc_cap)
+    if stats is not None:
+        row = hot.agg(
+            F.count(F.lit(1)).alias("h"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("r"),
+        ).collect()[0]
+        stats["fp_hot"] = row["h"]
+        stats["fp_hot_docrows"] = int(row["r"])
+    cold = fps.join(hot.select("fp"), "fp", "left_anti")
+    a = cold.select(F.col("fp"), F.col(id_col).alias("a"))
+    b = cold.select(F.col("fp"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -659,6 +659,140 @@ GROUP BY k.doc_id
 """
 
 
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-level line dedup (operators/dedup.
+    line_dedup_batch_against_index): docs with doc_id % 3 != 0 play the
+    committed corpus (their line_counts table is the persisted index),
+    the % 3 == 0 docs an arriving batch. A batch line is stripped exactly
+    when committed + batch counts reach 3; docs rebuilt in original
+    order. The oracle mirrors the cumulative-count probe, the strip, and
+    the ordered string_agg rebuild."""
+    from feature_engineering_spark.operators.dedup import (
+        line_counts,
+        line_dedup_batch_against_index,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' a ', chr(10))").alias("text")
+    )
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    cleaned, _counts = line_dedup_batch_against_index(
+        batch, line_counts(corpus), min_count=3
+    )
+    return cleaned.select(
+        "doc_id",
+        "text",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
+
+
+SQL_LINE_DEDUP_INCREMENTAL = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents
+),
+c AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+b AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+idx AS (
+  SELECT line, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, chr(10))) AS line FROM c
+  ) WHERE length(line) > 0 GROUP BY line
+),
+cb AS (
+  SELECT line, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, chr(10))) AS line FROM b
+  ) WHERE length(line) > 0 GROUP BY line
+),
+bad AS (
+  SELECT cb.line FROM cb LEFT JOIN idx USING (line)
+  WHERE cb.c + COALESCE(idx.c, 0) >= 3
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM b
+),
+keep AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN bad USING (line) WHERE bad.line IS NULL
+),
+n0 AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_orig FROM b
+)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+       CAST(ANY_VALUE(n0.n_orig) - COUNT(*) AS BIGINT) AS n_lines_removed
+FROM keep k JOIN n0 USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) partial-overlap pairs — fully oracle-checked: the
+    md5-derived k-gram hashes, sliding-window minima selection, hot-
+    fingerprint cap, and pair count all have DuckDB twins. Overlap is
+    planted in-query: every 4th doc gets a derived copy (id+1000000)
+    sharing its first 160 characters inside otherwise-new text, the
+    substring-containment case MinHash (whole-doc) misses."""
+    from feature_engineering_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    derived = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 160),
+            F.lit(" zz "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    base = d.unionByName(derived)
+    pairs = winnow_overlap_pairs(
+        base, k=5, w=4, min_shared=2, fp_doc_cap=64
+    )
+    return pairs.select(
+        "a", "b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+SQL_WINNOW_OVERLAP = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, 160) || ' zz ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 5 + 1),
+           i -> CAST(concat('0x', substr(md5(
+                  array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)
+         ) AS hs
+  FROM t WHERE len(toks) >= 5
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(hs) - 4 + 1),
+                     j -> list_min(hs[j:j+3])))
+         END AS fps
+  FROM h
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+cold AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 64),
+ee AS (SELECT e.doc_id, e.fp FROM e JOIN cold USING (fp))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ee x JOIN ee y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -1406,6 +1540,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "line_repetition": q_line_repetition,
     "line_dedup": q_line_dedup,
+    "line_dedup_incremental": q_line_dedup_incremental,
+    "winnow_overlap": q_winnow_overlap,
     "lm_perplexity": q_lm_perplexity,
     "cluster_reps": q_cluster_reps,
     "domain_mix": q_domain_mix,
@@ -1437,6 +1573,8 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "repetition_signals": SQL_REPETITION,
     "line_repetition": SQL_LINE_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
+    "line_dedup_incremental": SQL_LINE_DEDUP_INCREMENTAL,
+    "winnow_overlap": SQL_WINNOW_OVERLAP,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "cluster_reps": SQL_CLUSTER_REPS,
     "domain_mix": SQL_DOMAIN_MIX,

@@ -254,6 +254,48 @@ def streaming_contamination_filter(
     return for_each_batch
 
 
+def streaming_line_dedup_filter(
+    stream: DataFrame,
+    line_index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    sep: str = "\n",
+):
+    """Streaming face of the incremental corpus-level line dedup: each
+    micro-batch is stripped of boilerplate lines whose CUMULATIVE count —
+    committed (line, c) index plus this batch — reaches ``min_count``, by
+    the SAME batch operator (operators/dedup.line_dedup_batch_against_
+    index), so semantics (raw-count accounting, ordered rebuild,
+    empty-doc discard) are identical to the batch ingest job.
+
+    Returns a factory for ``writeStream.foreachBatch``:
+    ``for_each_batch(sink_fn)`` where ``sink_fn(cleaned_df,
+    batch_counts_df, batch_id)`` receives the rebuilt documents and the
+    batch's RAW line counts per micro-batch. The sink commits the counts
+    alongside the cleaned rows; if ``line_index`` is a lazy read of the
+    committed index table, the NEXT micro-batch's probe sees them — the
+    same grow-the-index contract as streaming_neardup_filter. A line
+    only starts being stripped once its cumulative count crosses the
+    threshold; re-cleaning earlier batches is the batch compaction job
+    (line_corpus_dedup)'s business."""
+    from feature_engineering_spark.operators.dedup import (
+        line_dedup_batch_against_index,
+    )
+
+    def for_each_batch(sink_fn):
+        def fn(batch_df: DataFrame, batch_id: int):
+            cleaned, counts_b = line_dedup_batch_against_index(
+                batch_df, line_index, text=text, id_col=id_col,
+                min_count=min_count, sep=sep,
+            )
+            sink_fn(cleaned, counts_b, batch_id)
+
+        return fn
+
+    return for_each_batch
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text: str = "text",

@@ -280,3 +280,48 @@ def test_streaming_contamination_filter(spark, tmp_path):
     assert set(rep.index) == {10, 13}
     assert rep.loc[10, "n_hits"] == 3 and rep.loc[13, "n_hits"] == 2
     assert rep.loc[10, "first_hit"] == "alpha beta gamma"
+
+
+def test_streaming_line_dedup_filter(spark, tmp_path):
+    """A micro-batch streamed through the line-dedup filter must strip
+    exactly what the batch incremental operator strips: lines whose
+    committed-index + batch cumulative count reaches min_count; the sink
+    also receives the batch's raw counts for committing."""
+    import pandas as pd
+
+    from feature_engineering_spark.operators.dedup import line_counts
+    from feature_engineering_spark.streaming.stream_ops import (
+        streaming_line_dedup_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "nav\nalpha"), (2, "nav\nbeta")], "doc_id long, text string"
+    )
+    index = line_counts(corpus)  # nav:2
+
+    batch = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [
+            "nav\ndelta",   # nav: 2 + 1 = 3 -> stripped
+            "x\nepsilon",   # below threshold -> intact
+            "nav",          # all lines stripped -> doc drops out
+        ],
+    })
+    src = str(tmp_path / "ld_src")
+    spark.createDataFrame(batch).repartition(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    cleaned, counts = [], []
+    feb = streaming_line_dedup_filter(stream, index, min_count=3)(
+        lambda c, cb, bid: (cleaned.append(c.toPandas()), counts.append(cb.toPandas()))
+    )
+    q = stream.writeStream.foreachBatch(feb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r for r in pd.concat(cleaned).itertuples()}
+    assert set(got) == {10, 11}
+    assert got[10].text == "delta" and got[10].n_lines_removed == 1
+    assert got[11].text == "x\nepsilon" and got[11].n_lines_removed == 0
+    # raw counts (stripped lines still counted) come back for the index
+    cb = {r.line: r.c for r in pd.concat(counts).itertuples()}
+    assert cb["nav"] == 2 and cb["x"] == 1

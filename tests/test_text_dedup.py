@@ -638,3 +638,79 @@ def test_line_dedup_incremental_against_index(spark):
     )
     r = cleaned2.collect()[0]
     assert r["text"] == "zeta" and r["n_lines_removed"] == 1
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[int]:
+    """Pure-Python reference of the winnowing selection (md5 60-bit
+    k-gram hashes, sliding-window-of-w minima, distinct)."""
+    import hashlib
+
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    if len(hs) <= w:
+        return {min(hs)}
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """The JVM expression chain reproduces the reference selection
+    exactly — including the <k-token empty case and the degenerate
+    G<=w single-window case."""
+    from feature_engineering_spark.operators.dedup import winnow_fingerprints
+
+    texts = {
+        1: "a b c d e f g h i j k l m n o p q r s t",
+        2: "a b c d",                  # 4 tokens < k=5 -> nothing
+        3: "a b c d e",                # exactly one gram -> one fp
+        4: "a b c d e f g",            # G=3 <= w=4 -> global min only
+        5: "x y z " + "a b c d e f g h i j" + " p q r",  # arbitrary
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in texts.items():
+        assert got.get(i, set()) == _winnow_ref(t, 5, 4), i
+
+
+def test_winnow_overlap_guarantee_and_cap(spark):
+    """A shared token run of >= w+k-1 tokens guarantees a shared
+    fingerprint (pair detected); a k-gram run shared by more docs than
+    fp_doc_cap is dropped with accounting and creates no pairs."""
+    from feature_engineering_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"  # 10 >= w+k-1 = 8
+    rows = [
+        (1, "u1 u2 u3 " + shared + " u4 u5 u6"),
+        (2, "v1 v2 " + shared + " v3 v4 v5 v6 v7"),
+        # unrelated doc
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+    ]
+    # identical boilerplate docs -> every fp they yield is selected in
+    # all 8 docs, so every one is hot (> cap) and must be dropped. (With
+    # per-doc unique prefixes the window minima shift per doc and a
+    # shared fp can legitimately sit under the cap — that's the
+    # operator working, not a cap failure.)
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    rows += [(100 + i, boiler) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict = {}
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            docs, k=5, w=4, min_shared=1, fp_doc_cap=4, stats=stats
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee
+    assert stats["fp_hot"] > 0 and stats["fp_hot_docrows"] >= 8
+    # no boilerplate-only pair survived the cap
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+    assert 3 not in {x for p in pairs for x in p}
