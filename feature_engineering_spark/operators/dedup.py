@@ -1159,3 +1159,74 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_overlap_incremental(
+    batch: DataFrame,
+    fp_index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_doc_cap: int = 64,
+    stats: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental winnowing overlap: (pairs, batch_fps) of an arriving
+    batch against a committed corpus fingerprint index — the fourth
+    index-backed incremental signal next to MinHash LSH, SRP embeddings,
+    and line counts. Cross pairs carry (a = corpus id, b = batch id);
+    in-batch pairs a < b. Ids must be globally unique.
+
+    ``fp_index`` is the committed (id_col, fp) table (winnow_fingerprints
+    output, persisted by the ingest job; MUST use the same k/w). Only the
+    BATCH is tokenized/fingerprinted; the index is probed with a
+    broadcast of the batch's distinct fingerprints — scanned once, never
+    shuffled, exactly the minhash_lsh_incremental contract.
+
+    The hot-fingerprint cap is exact, not approximate: a corpus
+    fingerprint's population within the probed subset equals its full-
+    index population (the probe is a semi-join on fp), so corpus-hits +
+    batch occurrences reproduce the full-run cap for every fingerprint
+    the batch can touch. Fingerprints absent from the batch cannot form
+    batch-touching pairs, so the restriction loses nothing — the
+    property test pins incremental == full winnow_overlap_pairs
+    restricted to batch-touching pairs.
+
+    The caller commits ``batch_fps`` alongside the batch's surviving
+    rows so the NEXT batch probes them too (grow-the-index contract of
+    jobs/ingest_increment.py)."""
+    fps_b = winnow_fingerprints(batch, text=text, id_col=id_col, k=k, w=w)
+    probe = fps_b.select("fp").distinct()
+    hit = fp_index.join(F.broadcast(probe), "fp").select(
+        F.col(id_col).alias("a"), "fp"
+    )
+    n_corp = hit.groupBy("fp").agg(F.count(F.lit(1)).alias("nc"))
+    n_batch = fps_b.groupBy("fp").agg(F.count(F.lit(1)).alias("nb"))
+    hot = (
+        n_batch.join(n_corp, "fp", "left")
+        .where(
+            F.coalesce(F.col("nc"), F.lit(0)) + F.col("nb") > fp_doc_cap
+        )
+        .select("fp")
+    )
+    if stats is not None:
+        stats["fp_hot"] = hot.count()
+    cold_b = fps_b.join(hot, "fp", "left_anti")
+    cold_hit = hit.join(hot, "fp", "left_anti")
+    cross = (
+        cold_hit.join(cold_b.withColumnRenamed(id_col, "b"), "fp")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    l = cold_b.select("fp", F.col(id_col).alias("a"))
+    r = cold_b.select("fp", F.col(id_col).alias("b"))
+    within = (
+        l.join(r, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return cross.unionByName(within), fps_b

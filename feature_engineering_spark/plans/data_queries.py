@@ -793,6 +793,44 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnow overlap vs a committed fingerprint index —
+    documents play the committed corpus (their winnow_fingerprints table
+    is the persisted index), derived every-4th-doc copies (id+1000000,
+    first 160 chars shared) an arriving batch. The oracle is the FULL
+    winnowing run over corpus ∪ batch restricted to batch-touching pairs
+    — the equivalence the property test pins (only the batch is
+    fingerprinted on the Spark side; the index is probed by a broadcast
+    of the batch's fingerprints)."""
+    from feature_engineering_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_incremental,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 160),
+            F.lit(" zz "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    index = winnow_fingerprints(d, k=5, w=4)
+    pairs, _fps = winnow_overlap_incremental(
+        batch, index, k=5, w=4, min_shared=2, fp_doc_cap=64
+    )
+    return pairs.select(
+        "a", "b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+SQL_WINNOW_INCREMENTAL = (
+    SQL_WINNOW_OVERLAP.rstrip()
+    + " AND y.doc_id >= 1000000\n"
+)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -1542,6 +1580,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "line_dedup_incremental": q_line_dedup_incremental,
     "winnow_overlap": q_winnow_overlap,
+    "winnow_incremental": q_winnow_incremental,
     "lm_perplexity": q_lm_perplexity,
     "cluster_reps": q_cluster_reps,
     "domain_mix": q_domain_mix,
@@ -1575,6 +1614,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "line_dedup_incremental": SQL_LINE_DEDUP_INCREMENTAL,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
+    "winnow_incremental": SQL_WINNOW_INCREMENTAL,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "cluster_reps": SQL_CLUSTER_REPS,
     "domain_mix": SQL_DOMAIN_MIX,

@@ -714,3 +714,71 @@ def test_winnow_overlap_guarantee_and_cap(spark):
     # no boilerplate-only pair survived the cap
     assert not any(a >= 100 and b >= 100 for a, b in pairs)
     assert 3 not in {x for p in pairs for x in p}
+
+
+def test_winnow_incremental_equals_full_restricted(spark):
+    """Incremental winnow overlap vs a committed fingerprint index must
+    equal the FULL operator run on corpus ∪ batch, restricted to pairs
+    touching the batch — same fingerprints, same hot cap, same counts."""
+    import random
+
+    from feature_engineering_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+        winnow_overlap_incremental,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(40)]
+    shared_runs = [
+        " ".join(rng.choices(vocab, k=12)) for _ in range(4)
+    ]
+    boiler = " ".join(f"bb{i}" for i in range(10))
+
+    def doc(i):
+        parts = [" ".join(rng.choices(vocab, k=rng.randint(6, 20)))]
+        if i % 3 == 0:
+            parts.append(shared_runs[i % 4])  # cross/within overlaps
+        if i % 5 == 0:
+            parts.append(boiler)  # hot in enough docs to cap
+        rng.shuffle(parts)
+        return " ".join(parts)
+
+    rows = [(i, doc(i)) for i in range(40)]
+    # interleaved ids: corpus/batch split NOT aligned with id order, so
+    # cross-pair orientation (a=corpus, b=batch) is exercised both ways
+    corpus_rows = [r for r in rows if r[0] % 2 == 0]
+    batch_rows = [r for r in rows if r[0] % 2 == 1]
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    allof = spark.createDataFrame(rows, schema)
+
+    K, W, MS, CAP = 4, 3, 1, 6
+    full = {
+        frozenset((r["a"], r["b"])): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            allof, k=K, w=W, min_shared=MS, fp_doc_cap=CAP
+        ).collect()
+    }
+    batch_ids = {r[0] for r in batch_rows}
+    full_touching = {
+        p: n for p, n in full.items() if p & batch_ids
+    }
+
+    index = winnow_fingerprints(corpus, k=K, w=W)
+    pairs, fps_b = winnow_overlap_incremental(
+        batch, index, k=K, w=W, min_shared=MS, fp_doc_cap=CAP
+    )
+    inc = {
+        frozenset((r["a"], r["b"])): r["n_shared"]
+        for r in pairs.collect()
+    }
+    assert inc == full_touching and len(inc) > 0
+    # committable fps are exactly the batch's full fingerprint set
+    got_fps = {(r["doc_id"], r["fp"]) for r in fps_b.collect()}
+    exp_fps = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(batch, k=K, w=W).collect()
+    }
+    assert got_fps == exp_fps
