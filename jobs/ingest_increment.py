@@ -25,7 +25,13 @@ Per batch k (all stages checkpointed/resumable through plans/checkpoint):
      dup);
   4. commit the survivors (``survivors_k``) and BOTH their bandings
      (``index_k`` MinHash, ``eindex_k`` SRP) so the next batch dedups
-     against them too.
+     against them too;
+  5. partial-overlap REPORT (``overlap_k`` + ``windex_k``): survivors are
+     probed against the committed winnow fingerprint index
+     (operators/dedup.winnow_overlap_incremental) — docs that QUOTE
+     committed content below the near-dup threshold are flagged as
+     (a, b, n_shared) pairs for trimming/down-weighting, not dropped;
+     survivor fingerprints are committed for later batches.
 
 Corpus = corpus_000 ∪ survivors_*; index = index_000 ∪ index_*;
 eindex = eindex_000 ∪ eindex_* — on a real deployment these are three
@@ -61,6 +67,8 @@ from feature_engineering_spark.operators.dedup import (  # noqa: E402
     line_dedup_batch_against_index,
     minhash_banded,
     srp_banded,
+    winnow_fingerprints,
+    winnow_overlap_incremental,
 )
 
 BOILER = "follow us on social media today"
@@ -101,6 +109,41 @@ def _paraphrase(df: DataFrame) -> DataFrame:
         for k in range(15)
     ]
     return df.withColumn("text", F.concat_ws(" ", F.array(*toks)))
+
+
+def _quote(df: DataFrame, salt: int) -> DataFrame:
+    """Embed the row's FULL text inside ~15 fresh md5-soup tokens on each
+    side: for short-to-medium docs the whole-doc 3-gram Jaccard vs the
+    original sits under the 0.6 near-dup threshold (so MinHash keeps it
+    — long docs legitimately cross it and drop as near-dups), and the
+    url is mutated + the stand-in embedding recomputed so the SRP signal
+    is independent too — only the winnow partial-overlap probe can see
+    the contained run. ``salt`` (the batch number) keeps each batch's
+    quote text/url distinct, otherwise batch k's quotes would be EXACT
+    copies of batch k-1's committed quote survivors and drop as
+    corpus_dup before ever reaching the report."""
+    pre = [
+        F.substring(
+            F.md5(F.concat(F.col("url"), F.lit(f"p{j}:{salt}"))), 1, 10
+        )
+        for j in range(15)
+    ]
+    suf = [
+        F.substring(
+            F.md5(F.concat(F.col("url"), F.lit(f"s{j}:{salt}"))), 1, 10
+        )
+        for j in range(15)
+    ]
+    out = df.withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", *pre),
+            F.col("text"),
+            F.concat_ws(" ", *suf),
+        ),
+    ).withColumn("url", F.concat(F.col("url"), F.lit(f"#q{salt}")))
+    return _with_embedding(out)
 
 
 def _with_doc_id(df: DataFrame, layer) -> DataFrame:
@@ -144,8 +187,11 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         ts_col=None,
     )
     lines0 = p.stage("lines_000", lambda: line_counts(corpus0), ts_col=None)
+    windex0 = p.stage(
+        "windex_000", lambda: winnow_fingerprints(corpus0), ts_col=None
+    )
     corpus_parts, index_parts, eindex_parts = [corpus0], [index0], [eindex0]
-    lines_parts = [lines0]
+    lines_parts, windex_parts = [lines0], [windex0]
     stats: dict = {"corpus_initial": corpus0.count(), "batches": []}
 
     # fresh rows: slots [60, 100) split into n_batches equal ranges —
@@ -196,12 +242,19 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
             para_in_batch = _with_doc_id(
                 _paraphrase(fresh.where((cfrac >= 5) & (cfrac < 8))), 50 + k
             )
+            # partial-overlap plants: committed corpus text quoted inside
+            # fresh soup — passes BOTH dedup signals by construction, so
+            # it must surface in the winnow overlap REPORT, not the drops
+            quote_vs_corpus = _with_doc_id(
+                _quote(seed.where((cfrac >= 9) & (cfrac < 12)), k), 60 + k
+            )
             return (
                 fresh.unionByName(exact_vs_corpus)
                 .unionByName(near_vs_corpus)
                 .unionByName(near_in_batch)
                 .unionByName(para_vs_corpus)
                 .unionByName(para_in_batch)
+                .unionByName(quote_vs_corpus)
             )
 
         arrivals = p.stage(f"arrivals_{k:03d}", build_arrivals, ts_col="warc_ts")
@@ -256,6 +309,27 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
             ),
             ts_col=None,
         )
+        # partial-overlap REPORT (not a drop): probe the committed winnow
+        # fingerprint index with the batch's SURVIVORS — whole-doc dups
+        # are already gone, so every pair here is a doc quoting/embedding
+        # committed (or sibling-survivor) content below the near-dup
+        # threshold; downstream consumers trim or down-weight, they don't
+        # discard. Survivor fingerprints are committed so later batches
+        # probe them too.
+        windex = _union(windex_parts)
+
+        def build_overlap(s=survivors, windex=windex):
+            pairs, _ = winnow_overlap_incremental(s, windex, min_shared=2)
+            return pairs
+
+        overlap_k = p.stage(f"overlap_{k:03d}", build_overlap, ts_col=None)
+        windex_k = p.stage(
+            f"windex_{k:03d}",
+            lambda s=survivors: winnow_fingerprints(s),
+            ts_col=None,
+        )
+        windex_parts.append(windex_k)
+
         corpus_parts.append(survivors)
         index_parts.append(index_k)
         eindex_parts.append(eindex_k)
@@ -267,6 +341,11 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
             cleaned.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
         )
         b["docs_emptied_by_line_dedup"] = b["arrivals"] - cleaned.count()
+        b["overlap_pairs"] = overlap_k.count()
+        # cross pairs carry a = corpus id (a is NOT a batch survivor)
+        b["overlap_pairs_cross"] = overlap_k.join(
+            survivors.select(F.col("doc_id").alias("a")), "a", "left_anti"
+        ).count()
         if "drops" in out:  # fresh run: reasons are in hand
             reasons = {
                 r["reason"]: r["count"]

@@ -42,6 +42,11 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         # planted scraper boilerplate crossed the cumulative line-count
         # threshold and was stripped before signing
         assert b["boiler_lines_removed"] > 0, b
+        # planted quote docs (corpus text inside fresh soup) pass BOTH
+        # dedup signals by construction and surface as CROSS pairs in
+        # the winnow partial-overlap report
+        assert b["overlap_pairs_cross"] > 0, b
+        assert b["overlap_pairs"] >= b["overlap_pairs_cross"], b
     # the committed cleaned tables carry no exact boilerplate line
     # anywhere (the ' qq'-mutated variant is a DIFFERENT line and may
     # legitimately sit under the count threshold)
