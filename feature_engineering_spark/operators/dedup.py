@@ -1182,7 +1182,13 @@ def winnow_overlap_incremental(
     output, persisted by the ingest job; MUST use the same k/w). Only the
     BATCH is tokenized/fingerprinted; the index is probed with a
     broadcast of the batch's distinct fingerprints — scanned once, never
-    shuffled, exactly the minhash_lsh_incremental contract.
+    shuffled, exactly the minhash_lsh_incremental contract. Sizing note:
+    fingerprints are denser than MinHash band-buckets (~tokens/w per doc
+    vs ``bands`` per doc), so the broadcast bounds the batch at roughly
+    10^5-10^6 docs (~50 fps/doc × 8 bytes ≈ 40-400 MB); for larger
+    arrivals, split the batch — the incremental contract composes
+    (probe, commit, probe) and the property test covers multi-part
+    arrivals via the grow-the-index path.
 
     The hot-fingerprint cap is exact, not approximate: a corpus
     fingerprint's population within the probed subset equals its full-
