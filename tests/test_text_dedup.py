@@ -782,3 +782,29 @@ def test_winnow_incremental_equals_full_restricted(spark):
         for r in winnow_fingerprints(batch, k=K, w=W).collect()
     }
     assert got_fps == exp_fps
+
+
+def test_winnow_fingerprints_randomized(spark):
+    """30 seeded random texts (varying length/vocab, including lengths
+    straddling the k and w boundaries) against the pure-Python reference
+    in ONE Spark job — the randomized sweep behind the hand-row cases."""
+    import random
+
+    from feature_engineering_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(99)
+    texts = {}
+    for i in range(30):
+        n = rng.choice([0, 3, 4, 5, 6, 7, 8, rng.randint(9, 80)])
+        vocab_size = rng.choice([2, 5, 30])  # tiny vocab -> repeated grams
+        texts[i] = " ".join(
+            f"v{rng.randrange(vocab_size)}" for _ in range(n)
+        )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in texts.items():
+        assert got.get(i, set()) == _winnow_ref(t, 5, 4), (i, t)
