@@ -1236,3 +1236,109 @@ def winnow_overlap_incremental(
         .where(F.col("n_shared") >= min_shared)
     )
     return cross.unionByName(within), fps_b
+
+
+def trim_contained_runs(
+    docs: DataFrame,
+    sources: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring dedup ACTION: remove from each doc every token
+    covered by a token k-gram that also occurs in ANY source document —
+    the excision step of duplicate-substring removal (the suffix-array
+    practice: drop repeated spans, keep the rest of the document). A
+    contained run of T >= k source tokens matches T-k+1 consecutive
+    grams whose [pos, pos+k) cover exactly the whole run, so quoted
+    passages are excised precisely; runs shorter than k never match
+    (below the definition of "duplicated span").
+
+    Emits (id_col, text, n_tokens_kept, n_tokens_removed) for EVERY
+    input doc, including fully-excised ones (empty text) — unlike line
+    dedup, discarding empties is left to the quality gate, because a
+    trimmed doc's remainder is legitimate content.
+
+    Scale shape: this is the TARGETED action after winnow_overlap_pairs
+    / winnow_overlap_incremental has flagged pairs — ``docs`` is the
+    flagged quoting docs and ``sources`` their matched partners (both
+    semi-join-pruned slivers of the corpus), so the gram join is tiny.
+    Pointing it at a whole corpus on both sides is the all-pairs-gram
+    join it exists to avoid. All JVM: md5-derived gram hashes, one
+    left-semi join on hash, one groupBy(doc) collect of matched
+    positions, then a scan-side filter/transform rebuild."""
+    toks = F.split(F.col(text), " ")
+
+    def _gram_hash(ts, i):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(ts, i + 1, k))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    src_hashes = (
+        sources.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - k),
+                        lambda i: _gram_hash(toks, i),
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("h")
+        )
+        .distinct()
+    )
+    d_grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: _gram_hash(toks, i),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"),
+    )
+    covered = (
+        d_grams.join(src_hashes, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("__starts"))
+    )
+    out = docs.join(covered, id_col, "left").withColumn(
+        "__starts",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+    )
+    starts = F.col("__starts")
+    m = F.size(toks)
+    # (word, index) structs filtered against the covered ranges; built
+    # with zip_with (not element_at over a filtered index list — Spark
+    # 4's subexpression elimination mis-binds the nested-lambda variable
+    # there), and materialized ONCE in an intermediate projection so the
+    # three outputs don't re-evaluate it
+    pairs = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), m - 1),
+        lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+    )
+    kept = F.filter(
+        pairs,
+        lambda p: ~F.exists(
+            starts, lambda s: (s <= p["i"]) & (p["i"] < s + F.lit(k))
+        ),
+    )
+    staged = out.select(
+        F.col(id_col), kept.alias("__kept"), m.alias("__m")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(F.col("__kept"), lambda p: p["w"])
+        ).alias(text),
+        F.size("__kept").cast("long").alias("n_tokens_kept"),
+        (F.col("__m") - F.size("__kept")).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )

@@ -831,6 +831,71 @@ SQL_WINNOW_INCREMENTAL = (
 )
 
 
+def q_trim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring excision — fully oracle-checked: the derived
+    quote docs (winnow_overlap's construction) are trimmed against the
+    base documents; the rebuilt text, kept and removed token counts all
+    have DuckDB twins (gram-hash semi-join -> covered starts -> zip/
+    filter rebuild)."""
+    from feature_engineering_spark.operators.dedup import trim_contained_runs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    derived = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 160),
+            F.lit(" zz "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return trim_contained_runs(derived, d, k=5)
+
+
+SQL_TRIM_OVERLAP = """
+WITH b AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, 160) || ' zz ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+st AS (SELECT string_split(text, ' ') AS toks FROM documents),
+sg AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> CAST(concat('0x', substr(md5(
+           array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT))) AS h
+  FROM st WHERE len(toks) >= 5
+),
+d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM b),
+dg AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(toks) - 5)) AS pos,
+         unnest(list_transform(generate_series(1, len(toks) - 4),
+           i -> CAST(concat('0x', substr(md5(
+                  array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT))) AS h
+  FROM d WHERE len(toks) >= 5
+),
+cov AS (
+  SELECT dg.doc_id, list_sort(list(DISTINCT dg.pos)) AS starts
+  FROM dg JOIN sg USING (h) GROUP BY dg.doc_id
+),
+o AS (
+  SELECT d.doc_id, d.toks, COALESCE(cov.starts, []) AS starts
+  FROM d LEFT JOIN cov USING (doc_id)
+),
+kk AS (
+  SELECT doc_id, len(toks) AS m,
+         list_filter(list_zip(toks, generate_series(0, len(toks) - 1)),
+           p -> len(list_filter(starts,
+                  s -> s <= p[2] AND p[2] < s + 5)) = 0) AS kept
+  FROM o
+)
+SELECT doc_id,
+       array_to_string(list_transform(kept, p -> p[1]), ' ') AS text,
+       CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+       CAST(m - len(kept) AS BIGINT) AS n_tokens_removed
+FROM kk
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — fully oracle-checked: the md5-derived
     signature, prefix bucketing, and Hamming verify all have DuckDB twins."""
@@ -1581,6 +1646,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_incremental": q_line_dedup_incremental,
     "winnow_overlap": q_winnow_overlap,
     "winnow_incremental": q_winnow_incremental,
+    "trim_overlap": q_trim_overlap,
     "lm_perplexity": q_lm_perplexity,
     "cluster_reps": q_cluster_reps,
     "domain_mix": q_domain_mix,
@@ -1615,6 +1681,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "line_dedup_incremental": SQL_LINE_DEDUP_INCREMENTAL,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "winnow_incremental": SQL_WINNOW_INCREMENTAL,
+    "trim_overlap": SQL_TRIM_OVERLAP,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "cluster_reps": SQL_CLUSTER_REPS,
     "domain_mix": SQL_DOMAIN_MIX,

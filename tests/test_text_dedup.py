@@ -808,3 +808,35 @@ def test_winnow_fingerprints_randomized(spark):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     for i, t in texts.items():
         assert got.get(i, set()) == _winnow_ref(t, 5, 4), (i, t)
+
+
+def test_trim_contained_runs(spark):
+    """Quoted runs are excised exactly (the T-k+1 matching grams cover
+    precisely the T-token run); runs shorter than k never match; fully
+    excised docs keep their row with empty text."""
+    from feature_engineering_spark.operators.dedup import trim_contained_runs
+
+    src = "q1 q2 q3 q4 q5 q6 q7 q8"        # 8 tokens >= k
+    short = "s1 s2 s3"                      # < k: no grams, never matches
+    docs = spark.createDataFrame(
+        [
+            (10, "u1 u2 u3 " + src + " u4 u5"),
+            (11, "v1 v2 v3 v4 v5 v6"),
+            (12, src),
+            (13, "w1 w2 " + short + " w3 w4"),
+        ],
+        "doc_id long, text string",
+    )
+    sources = spark.createDataFrame(
+        [(1, src), (2, short)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in trim_contained_runs(docs, sources, k=5).collect()
+    }
+    assert got[10]["text"] == "u1 u2 u3 u4 u5"
+    assert got[10]["n_tokens_removed"] == 8
+    assert got[11]["text"] == "v1 v2 v3 v4 v5 v6"
+    assert got[11]["n_tokens_removed"] == 0
+    assert got[12]["text"] == "" and got[12]["n_tokens_kept"] == 0
+    assert got[13]["n_tokens_removed"] == 0  # short run untouched
