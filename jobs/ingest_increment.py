@@ -30,8 +30,14 @@ Per batch k (all stages checkpointed/resumable through plans/checkpoint):
      probed against the committed winnow fingerprint index
      (operators/dedup.winnow_overlap_incremental) — docs that QUOTE
      committed content below the near-dup threshold are flagged as
-     (a, b, n_shared) pairs for trimming/down-weighting, not dropped;
-     survivor fingerprints are committed for later batches.
+     (a, b, n_shared) pairs, not dropped; survivor fingerprints are
+     committed for later batches;
+  6. EXCISION (``trimmed_k``): the publish-ready view — every flagged
+     doc has its quoted runs removed by operators/dedup.
+     trim_contained_runs against its pair partners (targeted semi-join
+     slivers), unflagged survivors pass through; per-doc token
+     accounting. The committed corpus/indexes keep the untrimmed text
+     (ids/signatures stay pure functions of what arrived).
 
 Corpus = corpus_000 ∪ survivors_*; index = index_000 ∪ index_*;
 eindex = eindex_000 ∪ eindex_* — on a real deployment these are three
@@ -330,6 +336,45 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         )
         windex_parts.append(windex_k)
 
+        # publish-ready text: EXCISE the flagged quoted runs (trim the
+        # b side of every reported pair against its a-side partners —
+        # targeted semi-join slivers, never corpus x corpus); unflagged
+        # survivors pass through untouched. The committed corpus/indexes
+        # keep the untrimmed survivors (ids and signatures stay pure
+        # functions of what arrived); trimmed_k is the downstream
+        # training-data view, with per-doc token accounting.
+        def build_trimmed(s=survivors, pairs=overlap_k, corpus=corpus):
+            from feature_engineering_spark.operators.dedup import (
+                trim_contained_runs,
+            )
+
+            flagged = s.join(
+                pairs.select(F.col("b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            partners = corpus.unionByName(s).join(
+                pairs.select(F.col("a").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            trimmed = trim_contained_runs(flagged, partners)
+            untouched = s.join(
+                pairs.select(F.col("b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).select(
+                "doc_id",
+                "text",
+                F.expr("cast(size(split(text, ' ')) as long)").alias(
+                    "n_tokens_kept"
+                ),
+                F.lit(0).cast("long").alias("n_tokens_removed"),
+            )
+            return trimmed.unionByName(untouched)
+
+        trimmed_k = p.stage(f"trimmed_{k:03d}", build_trimmed, ts_col=None)
+
         corpus_parts.append(survivors)
         index_parts.append(index_k)
         eindex_parts.append(eindex_k)
@@ -346,6 +391,9 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         b["overlap_pairs_cross"] = overlap_k.join(
             survivors.select(F.col("doc_id").alias("a")), "a", "left_anti"
         ).count()
+        b["tokens_trimmed"] = int(
+            trimmed_k.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+        )
         if "drops" in out:  # fresh run: reasons are in hand
             reasons = {
                 r["reason"]: r["count"]

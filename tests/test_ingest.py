@@ -47,6 +47,8 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         # the winnow partial-overlap report
         assert b["overlap_pairs_cross"] > 0, b
         assert b["overlap_pairs"] >= b["overlap_pairs_cross"], b
+        # ...and the excision stage removed their quoted runs
+        assert b["tokens_trimmed"] > 0, b
     # the committed cleaned tables carry no exact boilerplate line
     # anywhere (the ' qq'-mutated variant is a DIFFERENT line and may
     # legitimately sit under the count threshold)
@@ -59,6 +61,19 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         assert cleaned.where(
             F.array_contains(F.split("text", "\n"), BOILER)
         ).count() == 0
+    # the publish view covers every survivor, and every doc flagged on
+    # the b side of an overlap pair lost >= k tokens (a shared winnow
+    # fingerprint IS a shared k-gram, so the excision is never vacuous)
+    for k in (1, 2):
+        surv_n = spark.read.parquet(f"{root}/survivors_{k:03d}").count()
+        trimmed = spark.read.parquet(f"{root}/trimmed_{k:03d}")
+        assert trimmed.count() == surv_n
+        pairs = spark.read.parquet(f"{root}/overlap_{k:03d}")
+        flagged_trims = trimmed.join(
+            pairs.select(F.col("b").alias("doc_id")).distinct(), "doc_id"
+        )
+        assert flagged_trims.count() > 0
+        assert flagged_trims.where(F.col("n_tokens_removed") < 5).count() == 0
     # corpus accounting is exact: initial + all survivors
     assert stats["corpus_final"] == stats["corpus_initial"] + sum(
         b["survivors"] for b in stats["batches"]
