@@ -296,6 +296,68 @@ def streaming_line_dedup_filter(
     return for_each_batch
 
 
+def streaming_overlap_trim(
+    stream: DataFrame,
+    corpus: DataFrame,
+    fp_index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+):
+    """Streaming face of partial-overlap handling: each micro-batch is
+    probed against the committed winnow fingerprint index by the SAME
+    batch operator (operators/dedup.winnow_overlap_incremental), then
+    flagged docs have their quoted runs excised against their pair
+    partners (operators/dedup.trim_contained_runs) — detect AND act per
+    micro-batch, semantics identical to the ingest job's stages 5-6.
+
+    Returns a factory for ``writeStream.foreachBatch``:
+    ``for_each_batch(sink_fn)`` where ``sink_fn(trimmed_df, pairs_df,
+    batch_fps_df, batch_id)`` receives the publish-ready rows (flagged
+    docs trimmed, unflagged untouched, per-doc token accounting), the
+    overlap report, and the batch's fingerprints for committing — if
+    ``fp_index``/``corpus`` are lazy reads of committed tables, the NEXT
+    micro-batch probes this one's content (the grow-the-index contract
+    of the other streaming filters)."""
+    from feature_engineering_spark.operators.dedup import (
+        trim_contained_runs,
+        winnow_overlap_incremental,
+    )
+
+    def for_each_batch(sink_fn):
+        def fn(batch_df: DataFrame, batch_id: int):
+            pairs, fps_b = winnow_overlap_incremental(
+                batch_df, fp_index, text=text, id_col=id_col, k=k, w=w,
+                min_shared=min_shared,
+            )
+            b_ids = pairs.select(F.col("b").alias(id_col)).distinct()
+            flagged = batch_df.join(b_ids, id_col, "left_semi")
+            partners = corpus.unionByName(
+                batch_df.select(*corpus.columns)
+            ).join(
+                pairs.select(F.col("a").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            trimmed = trim_contained_runs(
+                flagged, partners, text=text, id_col=id_col, k=k
+            )
+            toks = F.split(F.col(text), " ")
+            untouched = batch_df.join(b_ids, id_col, "left_anti").select(
+                id_col,
+                text,
+                F.size(toks).cast("long").alias("n_tokens_kept"),
+                F.lit(0).cast("long").alias("n_tokens_removed"),
+            )
+            sink_fn(trimmed.unionByName(untouched), pairs, fps_b, batch_id)
+
+        return fn
+
+    return for_each_batch
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text: str = "text",

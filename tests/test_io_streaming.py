@@ -325,3 +325,52 @@ def test_streaming_line_dedup_filter(spark, tmp_path):
     # raw counts (stripped lines still counted) come back for the index
     cb = {r.line: r.c for r in pd.concat(counts).itertuples()}
     assert cb["nav"] == 2 and cb["x"] == 1
+
+
+def test_streaming_overlap_trim(spark, tmp_path):
+    """A micro-batch streamed through the overlap-trim filter must
+    detect quotes of committed content (cross pairs vs the index) and
+    excise exactly the quoted run; unflagged docs pass untouched with
+    zero-removal accounting."""
+    import pandas as pd
+
+    from feature_engineering_spark.operators.dedup import winnow_fingerprints
+    from feature_engineering_spark.streaming.stream_ops import (
+        streaming_overlap_trim,
+    )
+
+    src = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"  # 12 tokens
+    corpus = spark.createDataFrame(
+        [(1, src)], "doc_id long, text string"
+    )
+    index = winnow_fingerprints(corpus)
+
+    batch = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [
+            "u1 u2 u3 " + src + " u4 u5",   # quotes corpus -> trimmed
+            "v1 v2 v3 v4 v5 v6 v7 v8",      # fresh -> untouched
+        ],
+    })
+    srcdir = str(tmp_path / "ot_src")
+    spark.createDataFrame(batch).repartition(1).write.parquet(srcdir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(srcdir)
+
+    outs, reports, fps = [], [], []
+    feb = streaming_overlap_trim(stream, corpus, index, min_shared=2)(
+        lambda t, p, f, bid: (
+            outs.append(t.toPandas()),
+            reports.append(p.toPandas()),
+            fps.append(f.toPandas()),
+        )
+    )
+    q = stream.writeStream.foreachBatch(feb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r for r in pd.concat(outs).itertuples()}
+    assert got[10].text == "u1 u2 u3 u4 u5" and got[10].n_tokens_removed == 12
+    assert got[11].n_tokens_removed == 0 and got[11].text.startswith("v1")
+    rep = pd.concat(reports)
+    assert set(map(tuple, rep[["a", "b"]].to_numpy())) == {(1, 10)}
+    # fingerprints for committing cover the whole batch
+    assert set(pd.concat(fps)["doc_id"]) == {10, 11}
