@@ -14,10 +14,14 @@ per-stage drop accounting:
                               min-id survivor)
   6. decontamination         (probe n-gram broadcast — benchmark text
                               must not leak into training data)
-  7. PII scrub + publish     (masking is the LAST step so dedup/audits
+  7. substring dedup         (winnow detect -> excise quoted runs from
+                              the longer side of each flagged pair —
+                              AFTER the byte audit, since trimming
+                              legitimately rewrites text)
+  8. PII scrub + publish     (masking is the LAST step so dedup/audits
                               run on ingest bytes; byte-identity of
-                              surviving text is asserted JUST BEFORE the
-                              scrub rewrites it)
+                              surviving text is asserted JUST BEFORE
+                              trim/scrub rewrite it)
 
 Every stage is a Pipeline table (plans/checkpoint.py): a re-run skips
 committed stages, and the returned stats double as the drop ledger
@@ -76,6 +80,9 @@ def synth_input(spark, out_root: str, n_rows: int):
       h%100 in [17,20) -> text replaced by 120 globally-unique tokens
                           (gibberish: passes the quality heuristic but
                           scores extreme unigram NLL -> LM gate)
+      h%100 in [20,23) -> base text quoted inside fresh md5 soup
+                          (passes EVERY drop gate by construction ->
+                          winnow substring pass must excise the quote)
     """
     from feature_engineering_spark.sources.pages import write_pages_parquet
 
@@ -119,10 +126,27 @@ def synth_input(spark, out_root: str, n_rows: int):
                 ),
             ),
         ),
+    ).withColumn("__layer", F.lit(7))
+    # quote plant: the base row's FULL text inside ~15 fresh md5-soup
+    # tokens per side — passes quality, repetition, LM, exact AND
+    # near-dup (Jaccard vs the base lands well under 0.6 for short
+    # docs), so only the winnow substring pass can catch and excise it
+    soup = lambda tag: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.substring(
+                F.md5(F.concat(F.col("url"), F.lit(tag), i.cast("string"))),
+                1, 10,
+            ),
+        ),
+    )
+    quote = df.where((h >= 20) & (h < 23)).withColumn(
+        "text", F.concat_ws(" ", soup("qp"), F.col("text"), soup("qs"))
     ).withColumn("__layer", F.lit(6))
 
     allrows = base
-    for extra in (exact, near, rep, contam, pii, gibberish):
+    for extra in (exact, near, rep, contam, pii, gibberish, quote):
         allrows = allrows.unionByName(extra)
     # content-derived id: survivor sets are a pure function of the corpus
     # (jobs/dedup_corpus.py precedent; r3 verdict fix)
@@ -245,11 +269,60 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
         F.sha2("text", 256) != F.col("ingest_sha")
     ).count()
 
+    # substring dedup (winnow detect -> excise): AFTER the byte audit —
+    # trimming legitimately rewrites text, same as the scrub below. Per
+    # pair, the LONGER doc is trimmed (it embeds the shared span amid
+    # its own content; the shorter is closer to the canonical source),
+    # tie -> the larger id. Sources are the kept side of the flagged
+    # pairs only — targeted slivers, never corpus x corpus.
+    def build_trimmed():
+        from feature_engineering_spark.operators.dedup import (
+            trim_contained_runs,
+            winnow_overlap_pairs,
+        )
+
+        pairs = winnow_overlap_pairs(decontam, min_shared=2)
+        nt = decontam.select(
+            "doc_id", F.size(F.split("text", " ")).alias("__nt")
+        )
+        p2 = pairs.join(
+            nt.withColumnRenamed("doc_id", "a").withColumnRenamed("__nt", "na"),
+            "a",
+        ).join(
+            nt.withColumnRenamed("doc_id", "b").withColumnRenamed("__nt", "nb"),
+            "b",
+        )
+        trim_ids = p2.select(
+            F.when(F.col("na") > F.col("nb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("doc_id")
+        ).distinct()
+        both = pairs.select(F.col("a").alias("doc_id")).unionByName(
+            pairs.select(F.col("b").alias("doc_id"))
+        ).distinct()
+        keep_ids = both.join(trim_ids, "doc_id", "left_anti")
+        flagged = decontam.join(trim_ids, "doc_id", "left_semi")
+        partners = decontam.join(keep_ids, "doc_id", "left_semi")
+        t = trim_contained_runs(flagged, partners)
+        replaced = decontam.drop("text").join(
+            t.select("doc_id", "text", "n_tokens_removed"), "doc_id"
+        )
+        untouched = decontam.join(trim_ids, "doc_id", "left_anti").withColumn(
+            "n_tokens_removed", F.lit(0).cast("long")
+        )
+        return untouched.unionByName(replaced)
+
+    trimmed = p.stage("substring_trimmed", build_trimmed, ts_col="warc_ts")
+    docs_trimmed = trimmed.where(F.col("n_tokens_removed") > 0).count()
+    tokens_trimmed = int(
+        trimmed.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+    )
+
     def build_published():
         return (
-            decontam.withColumn("text", scrub_text(F.col("text")))
+            trimmed.withColumn("text", scrub_text(F.col("text")))
             .withColumn("published_sha", F.sha2("text", 256))
-            .drop("ingest_sha")
+            .drop("ingest_sha", "n_tokens_removed")
         )
 
     published = p.stage("published", build_published, ts_col="warc_ts")
@@ -300,6 +373,8 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
         "pii_docs_masked": masked,
         "pii_residual_docs": residual,
         "byte_identity_violations": corrupted,
+        "docs_trimmed": docs_trimmed,
+        "tokens_trimmed": tokens_trimmed,
         **lsh_dropped,
     }
     assert corrupted == 0

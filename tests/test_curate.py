@@ -27,6 +27,12 @@ def test_curate_end_to_end_and_resume(spark, tmp_path):
     assert stats["pii_residual_docs"] == 0
     assert stats["byte_identity_violations"] == 0
     assert stats["published"] == stats["after_decontam"]
+    # planted quote docs (base text inside fresh soup) pass every drop
+    # gate by construction; the substring pass must excise their quoted
+    # runs (>= k tokens each: a shared winnow fp IS a shared k-gram)
+    # without dropping any row
+    assert stats["docs_trimmed"] > 0
+    assert stats["tokens_trimmed"] >= 5 * stats["docs_trimmed"]
     # mixing keeps a nonempty subset; packing emits full chunks
     assert 0 < stats["mixed"] <= stats["published"]
     assert stats["n_chunks"] > 0
@@ -68,8 +74,8 @@ def test_curate_end_to_end_and_resume(spark, tmp_path):
     events = [json.loads(l) for l in open(f"{root}/_metrics.jsonl")]
     committed = [e for e in events if e["status"] == "committed"]
     skipped = [e for e in events if e["status"] == "skipped_existing"]
-    # 11 stages built exactly once, then all 11 skipped on resume
-    assert len(committed) == 11 and len(skipped) == 11
+    # 12 stages built exactly once, then all 12 skipped on resume
+    assert len(committed) == 12 and len(skipped) == 12
 
     # the mix respects the target ordering: en is the largest bucket
     mixed = spark.read.parquet(f"{root}/mixed")
