@@ -127,3 +127,30 @@ def test_sessionize_after_asof_reuses_exchange(spark):
     fused = sessionize(j, "user_id", "ts", 1800)
     plan = _plan(fused)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winnow_pairs_plan_no_nlj(spark):
+    """The winnow overlap self-join must be a hash equi-join on the
+    fingerprint value — never a nested-loop/cartesian product — and the
+    fingerprint computation must stay scan-side (no Python eval)."""
+    from feature_engineering_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(winnow_overlap_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_trim_plan_no_nlj_semi_probe(spark):
+    """Excision's source probe is a (broadcast) hash semi-join on the
+    gram hash — no nested loops, no Python."""
+    from feature_engineering_spark.operators.dedup import trim_contained_runs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = docs.where(F.col("doc_id") % 7 == 0)
+    plan = _plan(trim_contained_runs(docs, src))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
