@@ -840,3 +840,26 @@ def test_trim_contained_runs(spark):
     assert got[11]["n_tokens_removed"] == 0
     assert got[12]["text"] == "" and got[12]["n_tokens_kept"] == 0
     assert got[13]["n_tokens_removed"] == 0  # short run untouched
+
+
+def test_winnow_guarantee_property():
+    """The winnowing guarantee (Schleimer et al.): ANY shared token run
+    of length >= w + k - 1 yields at least one shared fingerprint.
+    Pure-Python property test against the reference selection the Spark
+    side is pinned to — random host texts, random shared-run placement."""
+    from hypothesis import given, settings, strategies as st
+
+    K, W = 5, 4
+
+    tok = st.integers(0, 30).map(lambda i: f"v{i}")
+    runs = st.lists(tok, min_size=W + K - 1, max_size=30)
+    hosts = st.lists(tok, min_size=0, max_size=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(run=runs, pre_a=hosts, suf_a=hosts, pre_b=hosts, suf_b=hosts)
+    def check(run, pre_a, suf_a, pre_b, suf_b):
+        a = " ".join(pre_a + run + suf_a)
+        b = " ".join(pre_b + run + suf_b)
+        assert _winnow_ref(a, K, W) & _winnow_ref(b, K, W), (a, b)
+
+    check()
