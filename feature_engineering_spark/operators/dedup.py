@@ -1080,28 +1080,46 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    unit: str = "word",
 ) -> DataFrame:
     """(id_col, fp) — distinct winnowed fingerprints per document.
 
-    Token k-gram hashes h_1..h_G (md5-derived 60-bit integers, exact in
-    any engine) are reduced by min over every sliding window of ``w``
+    k-gram hashes h_1..h_G (md5-derived 60-bit integers, exact in any
+    engine) are reduced by min over every sliding window of ``w``
     consecutive hashes; the distinct window minima are the document's
     fingerprints. Documents with fewer than ``w`` k-grams contribute
     their single global minimum (the degenerate window); documents with
-    no k-gram (fewer than ``k`` tokens) contribute nothing.
+    no k-gram (shorter than ``k`` units) contribute nothing.
+
+    ``unit='word'`` (default, web prose) grams over the single-space
+    tokenization; ``unit='char'`` grams over characters — the standard
+    choice for short documents and scripts without whitespace word
+    boundaries (CJK-ish text), same dichotomy as the MinHash family's
+    ``shingle_unit``. Probes against a committed index MUST use the
+    same (k, w, unit) the index was built with.
 
     All scan-side JVM array expressions (split -> transform/slice ->
     array_min), zero shuffle, zero Python — the selection keeps ~1/w of
     positions, so the exploded output is a bounded fraction of the
-    token stream. Guarantee: any shared run of >= w + k - 1 tokens
+    token stream. Guarantee: any shared run of >= w + k - 1 units
     yields >= 1 shared fingerprint (Schleimer et al., SIGMOD'03).
     """
-    toks = F.split(F.col(text), " ")
-    m = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), m - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    if unit == "word":
+        toks = F.split(F.col(text), " ")
+        m = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), m - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    elif unit == "char":
+        t = F.col(text)
+        m = F.length(t)
+        grams = F.transform(
+            F.sequence(F.lit(0), m - k),
+            lambda i: t.substr(i + 1, F.lit(k)),
+        )
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     hs = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
@@ -1128,6 +1146,7 @@ def winnow_overlap_pairs(
     min_shared: int = 2,
     fp_doc_cap: int = 64,
     stats: dict | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """(a, b, n_shared) — unordered document pairs sharing at least
     ``min_shared`` winnowed fingerprints (a < b).
@@ -1139,7 +1158,9 @@ def winnow_overlap_pairs(
     and would quadratically blow the self-join, so they are dropped with
     accounting in ``stats`` (``fp_hot``, ``fp_hot_docrows``) — the same
     no-silent-caps contract as the LSH bucket cap."""
-    fps = winnow_fingerprints(df, text=text, id_col=id_col, k=k, w=w)
+    fps = winnow_fingerprints(
+        df, text=text, id_col=id_col, k=k, w=w, unit=unit
+    )
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     hot = counts.where(F.col("n_docs") > fp_doc_cap)
     if stats is not None:
@@ -1171,6 +1192,7 @@ def winnow_overlap_incremental(
     min_shared: int = 2,
     fp_doc_cap: int = 64,
     stats: dict | None = None,
+    unit: str = "word",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental winnowing overlap: (pairs, batch_fps) of an arriving
     batch against a committed corpus fingerprint index — the fourth
@@ -1202,7 +1224,9 @@ def winnow_overlap_incremental(
     The caller commits ``batch_fps`` alongside the batch's surviving
     rows so the NEXT batch probes them too (grow-the-index contract of
     jobs/ingest_increment.py)."""
-    fps_b = winnow_fingerprints(batch, text=text, id_col=id_col, k=k, w=w)
+    fps_b = winnow_fingerprints(
+        batch, text=text, id_col=id_col, k=k, w=w, unit=unit
+    )
     probe = fps_b.select("fp").distinct()
     hit = fp_index.join(F.broadcast(probe), "fp").select(
         F.col(id_col).alias("a"), "fp"

@@ -863,3 +863,48 @@ def test_winnow_guarantee_property():
         assert _winnow_ref(a, K, W) & _winnow_ref(b, K, W), (a, b)
 
     check()
+
+
+def test_winnow_char_unit(spark):
+    """Char-unit winnowing matches a char-level reference, and detects
+    overlap between spaceless (CJK-ish) docs that word-unit winnowing is
+    structurally blind to (each doc is ONE word token)."""
+    import hashlib
+
+    from feature_engineering_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    def ref(s, k=5, w=4):
+        if len(s) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    shared = "abcdefghijkl"  # 12 chars >= w+k-1 = 8
+    texts = {1: "xxx" + shared + "yy", 2: "zzzz" + shared + "qq", 3: "pqrs"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=5, w=4, unit="char").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in texts.items():
+        assert got.get(i, set()) == ref(t), i
+
+    char_pairs = {
+        (r["a"], r["b"])
+        for r in winnow_overlap_pairs(
+            docs, k=5, w=4, min_shared=1, unit="char"
+        ).collect()
+    }
+    assert (1, 2) in char_pairs
+    # word unit sees each doc as a single token: no grams, no pairs
+    word_pairs = winnow_overlap_pairs(docs, k=5, w=4, min_shared=1).count()
+    assert word_pairs == 0
