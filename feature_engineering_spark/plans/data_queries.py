@@ -831,6 +831,73 @@ SQL_WINNOW_INCREMENTAL = (
 )
 
 
+def q_winnow_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-unit winnowing overlap on spaceless (CJK-ish) text — the
+    word-unit operator is structurally blind here (each doc is one
+    token). Text is de-spaced in-query on both engines; every 4th doc
+    gets a derived copy sharing its first 80 characters."""
+    from feature_engineering_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("s")
+    )
+    derived = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 80),
+            F.lit("ZZ"),
+            F.col("doc_id").cast("string"),
+        ).alias("s"),
+    )
+    base = d.unionByName(derived)
+    # char params are WIDER than word params: a 20-char gram (~4 words)
+    # is a meaningful substring; 5-char grams on web text are near-
+    # universal and would pair everything (measured 101k pairs on this
+    # fixture vs 160 at k=20/w=12/cap=8, with planted recall 125/125
+    # in both)
+    pairs = winnow_overlap_pairs(
+        base, text="s", k=20, w=12, min_shared=2, fp_doc_cap=8, unit="char"
+    )
+    return pairs.select(
+        "a", "b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+SQL_WINNOW_CHAR = """
+WITH base AS (
+  SELECT doc_id, replace(text, ' ', '') AS s FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(replace(text, ' ', ''), 1, 80) || 'ZZ' ||
+         CAST(doc_id AS VARCHAR) AS s
+  FROM documents WHERE doc_id % 4 = 0
+),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(s) - 20 + 1),
+           i -> CAST(concat('0x', substr(md5(substr(s, i, 20)), 1, 15))
+                AS BIGINT)) AS hs
+  FROM base WHERE length(s) >= 20
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= 12 THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(hs) - 12 + 1),
+                     j -> list_min(hs[j:j+11])))
+         END AS fps
+  FROM h
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+cold AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 8),
+ee AS (SELECT e.doc_id, e.fp FROM e JOIN cold USING (fp))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ee x JOIN ee y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_trim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-substring excision — fully oracle-checked: the derived
     quote docs (winnow_overlap's construction) are trimmed against the
@@ -1647,6 +1714,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap": q_winnow_overlap,
     "winnow_incremental": q_winnow_incremental,
     "trim_overlap": q_trim_overlap,
+    "winnow_char": q_winnow_char,
     "lm_perplexity": q_lm_perplexity,
     "cluster_reps": q_cluster_reps,
     "domain_mix": q_domain_mix,
@@ -1682,6 +1750,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "winnow_incremental": SQL_WINNOW_INCREMENTAL,
     "trim_overlap": SQL_TRIM_OVERLAP,
+    "winnow_char": SQL_WINNOW_CHAR,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "cluster_reps": SQL_CLUSTER_REPS,
     "domain_mix": SQL_DOMAIN_MIX,
