@@ -301,38 +301,55 @@ def minhash_lsh_dedup_parts(
     shingle_n: int = 3,
     max_bucket_size: int | None = 64,
     shingle_unit: str = "word",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Near-dup pipeline exposing its intermediates:
-    ``(pairs, banded, shingles)``.
+    ``(pairs, banded, cached)``.
 
     - ``pairs``: verified (a, b, jaccard >= threshold) — same frame
       ``minhash_lsh_dedup`` returns;
     - ``banded``: the (id, band, bucket) frame the candidate join actually
-      used, so jobs compute ``lsh_dropped_bucket_stats`` on the REAL
-      banding instead of re-tokenizing the corpus for a second full
-      signature pass (which would undo the single-tokenization win);
-    - ``shingles``: the persisted (id, sh) frame. The caller OWNS its
-      lifecycle: call ``shingles.unpersist()`` once ``pairs``/stats are
-      materialized, or the cached frame lives until session end.
+      used (derived from the CACHED signature frame, so jobs computing
+      ``lsh_dropped_bucket_stats`` on it do not re-tokenize the corpus);
+    - ``cached``: the persisted frames backing the pipeline. The caller
+      OWNS their lifecycle: unpersist each once ``pairs``/stats are
+      materialized, or they live until session end.
 
-    The corpus is tokenized/shingled ONCE: the (id, shingles) frame is
-    persisted (memory, spill-to-disk) and reused by the signature pass and
-    by BOTH sides of the verify join — previously each of those three
-    lineages re-scanned and re-shingled the corpus (measured ~1.5s of the
-    5.0s sf0.1 runtime). At cluster scale the persist is per-executor
-    storage-memory with disk spill; the alternative (recompute) costs two
-    extra full scans + md5 passes, which dominates for web-scale text."""
+    Round-6 shape (guide §2.3 "shuffle keys and metadata instead of
+    payloads" + §3.1): the corpus-sized pass — tokenize, shingle, md5,
+    32 min-aggregates — runs EXACTLY once, materializing the tiny
+    signature frame (N x 33 longs), which is what gets persisted. Nothing
+    corpus-sized is cached (round 5 persisted the full (id, array<string>)
+    shingle frame: heavy object churn in storage memory, and the verify
+    join broadcast that whole frame twice — measured in the sf1.0 plan).
+    The candidate-pair frame (also tiny) is persisted because both the
+    id-prune and the verify join consume it. The exact-Jaccard verify
+    re-shingles ONLY the candidate docs (a broadcast semi-join on the
+    long-typed candidate id set prunes the scan), so the string arrays it
+    compares exist only for the handful of docs that reached a pair —
+    identical values, since inner joins on cand ids never touched any
+    other row."""
     rows_per_band = num_hashes // bands
     g = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text), shingle_n, shingle_unit).alias("sh"),
-    ).persist()
-    sig = _signatures_from_shingles(g, num_hashes)
+    )
+    sig = _signatures_from_shingles(g, num_hashes).persist()
     banded = _band_signature(sig, bands, rows_per_band)
-    cand = _candidates_from_banded(banded, max_bucket_size)
+    cand = _candidates_from_banded(banded, max_bucket_size).persist()
+    ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    gc = df.join(
+        F.broadcast(ids), df[id_col] == ids["id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text), shingle_n, shingle_unit).alias("sh"),
+    )
     j = (
-        cand.join(g.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
-        .join(g.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+        cand.join(gc.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(gc.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
@@ -340,7 +357,7 @@ def minhash_lsh_dedup_parts(
     pairs = j.select("a", "b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
-    return pairs, banded, g
+    return pairs, banded, [sig, cand]
 
 
 def minhash_lsh_dedup(
@@ -357,13 +374,13 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     Jaccard verify >= threshold. Returns verified (a, b, jaccard).
 
-    NOTE on caching: the shingle frame backing the result is persisted and
-    stays in executor storage memory until the returned frame's last
-    consumer runs — one cached frame per call. Long-lived sessions making
+    NOTE on caching: the (tiny) signature and candidate frames backing the
+    result are persisted and stay in executor storage memory until the
+    returned frame's last consumer runs. Long-lived sessions making
     repeated calls should use ``minhash_lsh_dedup_parts`` and unpersist
-    the shingle frame after materializing the pairs (jobs/dedup_corpus.py
+    the cached frames after materializing the pairs (jobs/dedup_corpus.py
     does exactly that)."""
-    pairs, _banded, _g = minhash_lsh_dedup_parts(
+    pairs, _banded, _cached = minhash_lsh_dedup_parts(
         df, text, id_col, threshold, num_hashes, bands, shingle_n,
         max_bucket_size, shingle_unit=shingle_unit,
     )

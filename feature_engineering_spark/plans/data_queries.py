@@ -24,13 +24,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for single-row-group parquet inputs (guide §2.5:
+    input skew — "one huge unsplittable file … repartition immediately
+    after the read"). The driver-generated fixtures write ONE parquet row
+    group per table (sf1.0 documents: 50k rows, 1 row group), so the scan
+    yields one effective task no matter the split size and every scan-side
+    computation (regex, shingling, md5) serializes on a single core —
+    measured 16s of the 28s minhash_lsh_dedup wall at sf1.0/local[32].
+    Spread to the session's shuffle parallelism only when the source is
+    under-partitioned; with a properly laid-out many-file table this is a
+    no-op, so it does not add a shuffle at cluster scale."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mutated copy of doc_id<60 (id+10000, ' qq zz' appended)."""
-    d = _docs(spark, sf_dir)
+    # All three union branches derive from ONE spread scan: the mutant
+    # filters run post-exchange (they only touch 80 rows, pushdown buys
+    # nothing on a single-row-group file), and AQE's exchange reuse
+    # computes the scan+spread shuffle once for the three consumers —
+    # previously each branch re-scanned the parquet serially.
+    d = _spread(_docs(spark, sf_dir))
     mut = d.where(F.col("doc_id") < 60).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
@@ -55,7 +78,7 @@ FROM documents WHERE doc_id < 20
 
 # ---------------------------------------------------------------- text
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -97,7 +120,7 @@ FROM b
 
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return (
         d.select(TX.lang_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
@@ -132,7 +155,7 @@ FROM b GROUP BY 1
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -364,7 +387,7 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_incremental,
     )
 
-    corpus = _docs(spark, sf_dir)
+    corpus = _spread(_docs(spark, sf_dir))
     d = _docs_with_dupes(spark, sf_dir)
     batch = d.where(F.col("doc_id") >= 10000)
     index = minhash_banded(corpus)
@@ -491,7 +514,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_signals,
     )
 
-    return repetition_signals(_docs(spark, sf_dir))
+    return repetition_signals(_spread(_docs(spark, sf_dir)))
 
 
 def _repetition_sql(ns: tuple[int, ...] = (2, 3, 4)) -> str:
@@ -572,7 +595,7 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_repetition_signals,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.expr("replace(text, ' a ', chr(10))").alias("text")
     )
     return line_repetition_signals(docs)
@@ -616,7 +639,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent)."""
     from feature_engineering_spark.operators.dedup import line_corpus_dedup
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.expr("replace(text, ' a ', chr(10))").alias("text")
     )
     out = line_corpus_dedup(docs, min_count=3)
@@ -672,7 +695,7 @@ def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_dedup_batch_against_index,
     )
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.expr("replace(text, ' a ', chr(10))").alias("text")
     )
     corpus = docs.where(F.col("doc_id") % 3 != 0)
@@ -739,7 +762,7 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-containment case MinHash (whole-doc) misses."""
     from feature_engineering_spark.operators.dedup import winnow_overlap_pairs
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     derived = d.where(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(
@@ -807,7 +830,7 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_overlap_incremental,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     batch = d.where(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(
@@ -838,7 +861,7 @@ def q_winnow_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets a derived copy sharing its first 80 characters."""
     from feature_engineering_spark.operators.dedup import winnow_overlap_pairs
 
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("s")
     )
     derived = d.where(F.col("doc_id") % 4 == 0).select(
@@ -906,7 +929,7 @@ def q_trim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter rebuild)."""
     from feature_engineering_spark.operators.dedup import trim_contained_runs
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     derived = d.where(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(
@@ -1283,7 +1306,7 @@ def q_clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text-normalization pass, fingerprinted so the oracle
     verifies BYTE-identical normalized output (the input_hint's
     byte-identity invariant applied to the cleaning stage)."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     norm = TX.normalize_text(F.col("text"))
     return d.select(
         "doc_id",
@@ -1311,7 +1334,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset where Java regex and RE2 agree (operators/pii docstring)."""
     from feature_engineering_spark.operators.pii import pii_signals, scrub_text
 
-    d = _docs(spark, sf_dir).withColumn(
+    d = _spread(_docs(spark, sf_dir)).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -1366,7 +1389,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 500 by (count desc, token). One explode + one map-side-combined
     groupBy + TakeOrdered — the word-count shape that stays one shuffle at
     any corpus size."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     tok = F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("token")
     return (
         d.select(tok)
@@ -1398,7 +1421,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is reproducible across runs/engines and the oracle is exact."""
     from feature_engineering_spark.operators.split import deterministic_sample
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     en = deterministic_sample(d.where(F.col("lang") == "en"), 0.10, key="doc_id")
     rest = deterministic_sample(d.where(F.col("lang") != "en"), 0.50, key="doc_id")
     return en.unionByName(rest).select("doc_id", "lang", "n_chars")
@@ -1428,7 +1451,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitions tf and df and AQE will still broadcast it at runtime if
     the dictionary turns out tiny. N (doc count) joins in lazily as a
     single-row broadcast cross join instead of a separate driver action."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     tok = d.select(
         "doc_id",
         F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("term"),
@@ -1477,7 +1500,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ROUND(6) on both sides (order-summed ln terms, tfidf precedent)."""
     from feature_engineering_spark.operators.lm_score import unigram_nll
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return unigram_nll(d).select(
         "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "avg_nll"
     )
@@ -1568,7 +1591,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE operation order — integer thresholds match bit-for-bit."""
     from feature_engineering_spark.operators.split import domain_mix_sample
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return domain_mix_sample(d, _MIX_WEIGHTS).select("doc_id", "lang", "n_chars")
 
 
@@ -1602,7 +1625,7 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's window cumsum matches bit-for-bit."""
     from feature_engineering_spark.operators.packing import pack_chunks
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return pack_chunks(d, max_tokens=512, n_shards=8)
 
 
@@ -1642,7 +1665,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_from_ids,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     media = synthesize_media_from_ids(d, id_col="doc_id")
     out = media_features(media, frame_stride=2)
     return out.select(

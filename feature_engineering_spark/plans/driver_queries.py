@@ -148,14 +148,43 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------- A1-A5 suite
 def q_group_topstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    stats = li.groupBy("l_returnflag", "l_linestatus").agg(
         _r6(F.sum("l_quantity")).alias("sum_qty"),
         _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
         _r6(F.avg("l_quantity")).alias("avg_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.count(F.lit(1)).alias("n"),
-        _r6(F.expr("percentile_approx(l_quantity, 0.9, 1000000)")).alias("p90_qty"),
+    )
+    # p90 exact-from-counts (r6, guide §1.2 "per-task work"): l_quantity is
+    # low-cardinality (50 distinct values), so percentile_approx(.., 1e6)
+    # was paying a 1e6-compression QuantileSummaries insert per row —
+    # measured ~70% of the query at sf1.0 — to compute what a value-counts
+    # aggregate derives exactly. Both engines return the sorted-multiset
+    # element at 1-indexed rank ceil(0.9*n) (probed across n where the
+    # candidate rank formulas differ; DuckDB quantile_disc == Spark
+    # percentile_approx at full accuracy); (9*n + 9) div 10 is that rank in
+    # exact integer arithmetic. The counts pass shuffles ~|groups x
+    # distinct| tiny rows; the float aggregates keep their original
+    # single-pass computation, bit-identical to round 5.
+    cnts = (
+        li.where(F.col("l_quantity").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    cum = grp.orderBy("l_quantity").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cnts.withColumn("__cum", F.sum("__c").over(cum)).withColumn(
+        "__n", F.sum("__c").over(grp)
+    )
+    p90 = (
+        ranked.where(F.col("__cum") >= F.expr("(9 * __n + 9) div 10"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(_r6(F.min("l_quantity")).alias("p90_qty"))
+    )
+    return stats.join(p90, ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "revenue", "avg_qty",
+        "min_qty", "max_qty", "n", "p90_qty",
     )
 
 
@@ -431,7 +460,16 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding grid windows (size 600s, step 60s, left-closed right-open)
     via window-id expansion: explode(sequence(...)) then one groupBy — no
     theta/range join at any scale (replaces data_loaders.py:467-496 loop)."""
-    ev = _t(spark, sf_dir, "events")
+    # Shuffle the NARROW input by user_id BEFORE the 10x explode (guide
+    # §3.3: explode multiplies the shuffle). HashPartitioning(user_id)
+    # satisfies the (user_id, win_id) clustering, so the groupBy needs no
+    # second exchange: the wire carries 1M 4-column rows instead of ~10M
+    # exploded partial-aggregate states (events are ~1 per user-minute, so
+    # map-side partial aggregation cannot reduce the exploded set). Also
+    # parallelizes the explode itself past the fixture's one row group.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).repartition(F.col("user_id"))
     t = epoch_seconds("ts")
     lo = (F.floor((t - F.lit(600.0)) / F.lit(60.0)) + F.lit(1)).cast("long")
     hi = F.floor(t / F.lit(60.0)).cast("long")

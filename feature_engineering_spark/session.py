@@ -33,6 +33,19 @@ _BASE_CONFS = {
     # floor from local[8] to local[32]); /dev/shm models the NVMe-local
     # shuffle dirs a real cluster provisions.
     "spark.local.dir": "/dev/shm/spark-local",
+    # InferFiltersFromGenerate synthesizes size(e)>0 AND isnotnull(e)
+    # above every explode; predicate pushdown then substitutes the full
+    # array-building expression through the projection and into the scan
+    # stage. Every explode in this engine generates from a COMPUTED array
+    # (shingles, n-grams, token splits — interpreted higher-order
+    # functions), so the "free" inferred filter re-evaluates the whole
+    # array construction 2x per row in the scan stage (r6 measured: the
+    # minhash shingle explode went 27.7s -> 0.9s at sf1.0 once excluded;
+    # the filter itself never prunes computed arrays profitably). Rows
+    # with empty/null arrays are dropped by the generator itself, so
+    # excluding the rule cannot change results.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -225,10 +225,10 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
             dedup_keep_canonical,
         )
 
-        pairs, banded, shingles = minhash_lsh_dedup_parts(
+        pairs, banded, cached = minhash_lsh_dedup_parts(
             exact, text="text", id_col="doc_id", threshold=jaccard
         )
-        lsh_parts.update(banded=banded, shingles=shingles)
+        lsh_parts.update(banded=banded, cached=cached)
         return dedup_keep_canonical(exact, pairs, id_col="doc_id")
 
     deduped = p.stage("neardup_dedup", build_neardup, ts_col="warc_ts")
@@ -246,7 +246,8 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.3,
         drop_row = lsh_dropped_bucket_stats(
             lsh_parts["banded"], max_bucket_size=64
         ).collect()[0]
-        lsh_parts["shingles"].unpersist()
+        for frame in lsh_parts["cached"]:
+            frame.unpersist()
         lsh_dropped = {
             "lsh_dropped_buckets": int(drop_row["n_dropped_buckets"] or 0),
             "lsh_dropped_rows": int(drop_row["n_dropped_rows"] or 0),

@@ -98,10 +98,10 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.4,
     def build_neardup():
         from feature_engineering_spark.operators.graph import dedup_keep_canonical
 
-        pairs, banded, shingles = minhash_lsh_dedup_parts(
+        pairs, banded, cached = minhash_lsh_dedup_parts(
             exact, text="text", id_col="doc_id", threshold=jaccard
         )
-        lsh_parts.update(banded=banded, shingles=shingles)
+        lsh_parts.update(banded=banded, cached=cached)
         # transitive cluster closure, ONE survivor (min id) per cluster —
         # pairwise greatest(a,b) dropping under-deletes on chains (pairs
         # (A,C),(B,C) would keep both A and B despite sharing a cluster)
@@ -120,12 +120,13 @@ def run(spark, out_root: str, n_rows: int, min_quality: float = 0.4,
 
     if lsh_parts:
         # fresh run: audit the banding the dedup ACTUALLY used (reads the
-        # still-persisted shingles — no second tokenization pass), then
-        # release the shingle cache now that the stage is committed
+        # still-persisted signature frame — no second tokenization pass),
+        # then release the caches now that the stage is committed
         drop_row = lsh_dropped_bucket_stats(
             lsh_parts["banded"], max_bucket_size=64
         ).collect()[0]
-        lsh_parts["shingles"].unpersist()
+        for frame in lsh_parts["cached"]:
+            frame.unpersist()
     else:
         # resume: the neardup stage loaded from its committed table, so no
         # banding exists in this session — recompute it for the audit row
