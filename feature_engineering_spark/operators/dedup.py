@@ -1279,6 +1279,19 @@ def winnow_overlap_incremental(
     return cross.unionByName(within), fps_b
 
 
+def overlap_partner_ids(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Partner (source) id set for overlap excision: the a-side ids of the
+    reported pairs MINUS the flagged b-side ids. A doc that is itself
+    being trimmed must never serve as a source — it would match its own
+    grams in trim_contained_runs and excise its ENTIRE text (overlap
+    chains A<B<C over one shared paragraph make B both a b-side and an
+    a-side; the shared content is still excised via the chain's pure
+    a-side partner A). One distinct + one anti-join on bare ids."""
+    a = pairs.select(F.col("a").alias(id_col)).distinct()
+    b = pairs.select(F.col("b").alias(id_col)).distinct()
+    return a.join(b, id_col, "left_anti")
+
+
 def trim_contained_runs(
     docs: DataFrame,
     sources: DataFrame,
@@ -1352,9 +1365,40 @@ def trim_contained_runs(
         "__starts",
         F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
     )
+    # Merge the sorted covered starts into disjoint [lo, hi) intervals
+    # BEFORE the keep-filter (r6): the per-token probe was
+    # exists(__starts, ...) — O(m*s) for m tokens and s covered starts,
+    # quadratic for a long heavily-quoted doc where s ~ m. Consecutive
+    # run starts collapse into one interval, so the probe drops to
+    # O(m * #distinct-quoted-spans). starts ascend, so an overlapping or
+    # touching start (s <= last.hi) always extends the last interval to
+    # s + k (>= last.hi since starts are increasing).
     starts = F.col("__starts")
+    iv = F.aggregate(
+        starts,
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + F.lit(k)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("lo"), (s + F.lit(k)).alias("hi"))),
+            )
+        ),
+    )
+    out = out.withColumn("__iv", iv)
+    ivc = F.col("__iv")
     m = F.size(toks)
-    # (word, index) structs filtered against the covered ranges; built
+    # (word, index) structs filtered against the merged ranges; built
     # with zip_with (not element_at over a filtered index list — Spark
     # 4's subexpression elimination mis-binds the nested-lambda variable
     # there), and materialized ONCE in an intermediate projection so the
@@ -1367,7 +1411,7 @@ def trim_contained_runs(
     kept = F.filter(
         pairs,
         lambda p: ~F.exists(
-            starts, lambda s: (s <= p["i"]) & (p["i"] < s + F.lit(k))
+            ivc, lambda v: (v["lo"] <= p["i"]) & (p["i"] < v["hi"])
         ),
     )
     staged = out.select(

@@ -55,14 +55,22 @@ def unigram_nll(
     per-term ln() values are order-summed per doc, so the raw double is
     not cross-engine stable; 6dp is (tfidf_terms precedent).
     """
-    ref = reference if reference is not None else docs
     dt = _tokens(docs, text, id_col)
-    rt = _tokens(ref, text, id_col)
-    lm = rt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tf = dt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if reference is None:
+        # Self-scoring (the common bootstrap): the LM counts are a pure
+        # roll-up of the per-doc term frequencies — c(t) = sum_d tf(t,d),
+        # exactly the count a second tokenization pass would produce — so
+        # derive them from ``tf`` instead of re-tokenizing the corpus. At
+        # corpus scale the tokenize+explode is the dominant scan cost and
+        # this halves it (the shared tf subtree is one exchange, reused).
+        lm = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    else:
+        rt = _tokens(reference, text, id_col)
+        lm = rt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     totals = lm.agg(
         F.sum("c").alias("t_tok"), F.count(F.lit(1)).alias("v_size")
     )
-    tf = dt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # ln p(t) = ln(c + 1) - ln(T + V); unseen terms: ln(1) - ln(T + V)
     scored = (
         tf.join(lm, "term", "left")

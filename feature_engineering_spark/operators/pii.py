@@ -12,8 +12,9 @@ leftmost-longest (RE2) resolution could differ — so the masked text is
 byte-identical cross-engine and the ``pii_scrub`` query hash-verifies.
 
 Masking order is fixed (email → ipv4 → phone) and mirrored by the
-oracle: an email like user@10.1.2.3 masks as one <EMAIL>, not an email
-wrapping an <IP>.
+oracle. Note: an address like user@10.1.2.3 does NOT match EMAIL_RE
+(the pattern requires an alphabetic TLD), so the embedded IP masks
+instead and the result is user@<IP> — test_pii.py pins exactly this.
 """
 
 from __future__ import annotations

@@ -183,6 +183,13 @@ def filter_repetitive(
       ``max_top_char_frac={2: ...}`` (kept for callers of the round-4
       2-gram-only operator).
 
+    BEHAVIOR CHANGE (round 5): the no-args default is Gopher's full
+    {2: 0.20, 3: 0.18, 4: 0.16} gate, not the round-4 single 2-gram
+    threshold — default-calling pipelines drop strictly MORE documents
+    than they did in round 4. Downstream corpus counts shifting across
+    that upgrade is this intentional default change, not a regression;
+    pass ``max_top_2gram_char_frac=0.20`` to reproduce the old gate.
+
     The signals frame is one row per doc; the anti-join side carries only
     the ids of rejected docs."""
     if max_top_char_frac is None:

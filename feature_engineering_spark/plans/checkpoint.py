@@ -134,6 +134,11 @@ class IcebergTableIO(TableIO):
         # user stage named 'ledger' can NEVER alias the lineage table
         # (pre-fix, strip('_') folded '_ledger' and 'ledger' together and
         # silently interleaved lineage rows with stage data).
+        # MIGRATION NOTE: catalogs committed under the pre-fix layout hold
+        # their lineage at '<root>.ledger'; this release reads only
+        # '<root>.zz_sys_ledger', so such a deployment resumes with an
+        # empty ledger (stages re-run, a fresh lineage table is appended).
+        # Rename the legacy table to zz_sys_ledger before upgrading.
         if name.startswith("_"):
             return f"{root}.{self._SYS_PREFIX}{name.strip('_')}"
         if name.strip("_") != name or name.startswith(self._SYS_PREFIX):

@@ -46,6 +46,15 @@ _BASE_CONFS = {
     # excluding the rule cannot change results.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # Split generated Java functions at 256 chars instead of 1024: the
+    # wide-aggregate codegen (32 minhash min() updates, 35-feature
+    # emissions) otherwise produces single update methods too large for
+    # the JVM JIT's compile limit, leaving the per-row hot loop
+    # interpreted on its one and only execution (r6 A/B at sf1.0: the
+    # minhash signature pass 7.4s -> 5.3s; suite unchanged elsewhere).
+    # Method-call overhead for ordinary-sized expressions is noise by
+    # comparison.
+    "spark.sql.codegen.methodSplitThreshold": "256",
 }
 
 

@@ -322,6 +322,7 @@ def streaming_overlap_trim(
     micro-batch probes this one's content (the grow-the-index contract
     of the other streaming filters)."""
     from feature_engineering_spark.operators.dedup import (
+        overlap_partner_ids,
         trim_contained_runs,
         winnow_overlap_incremental,
     )
@@ -334,12 +335,14 @@ def streaming_overlap_trim(
             )
             b_ids = pairs.select(F.col("b").alias(id_col)).distinct()
             flagged = batch_df.join(b_ids, id_col, "left_semi")
+            # partner set EXCLUDES flagged b-side ids (overlap_partner_ids):
+            # a batch doc in both roles (overlap chains within one
+            # micro-batch) would otherwise be trimmed against its own
+            # grams and emitted with empty text
             partners = corpus.unionByName(
                 batch_df.select(*corpus.columns)
             ).join(
-                pairs.select(F.col("a").alias(id_col)).distinct(),
-                id_col,
-                "left_semi",
+                overlap_partner_ids(pairs, id_col), id_col, "left_semi",
             )
             trimmed = trim_contained_runs(
                 flagged, partners, text=text, id_col=id_col, k=k

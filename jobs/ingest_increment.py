@@ -345,6 +345,7 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
         # training-data view, with per-doc token accounting.
         def build_trimmed(s=survivors, pairs=overlap_k, corpus=corpus):
             from feature_engineering_spark.operators.dedup import (
+                overlap_partner_ids,
                 trim_contained_runs,
             )
 
@@ -353,10 +354,12 @@ def run(spark, out_root: str, n_rows: int, n_batches: int = 2,
                 "doc_id",
                 "left_semi",
             )
+            # partner set EXCLUDES flagged b-side ids (overlap_partner_ids):
+            # a survivor in both roles (A<B<C chains over one shared
+            # paragraph) would otherwise match its own grams and be fully
+            # excised — same keep-set discipline as curate_corpus
             partners = corpus.unionByName(s).join(
-                pairs.select(F.col("a").alias("doc_id")).distinct(),
-                "doc_id",
-                "left_semi",
+                overlap_partner_ids(pairs), "doc_id", "left_semi",
             )
             trimmed = trim_contained_runs(flagged, partners)
             untouched = s.join(

@@ -40,6 +40,24 @@ def test_unigram_nll_hand(spark):
     assert abs(r["avg_nll"] - round(-math.log(1.0 / 4.0), 6)) < 1e-12
 
 
+def test_unigram_nll_self_scoring_equals_explicit_reference(spark):
+    """r6: self-scoring derives the LM counts from the tf roll-up instead
+    of a second tokenization pass — must be value-identical to passing the
+    corpus as an explicit reference (which still takes the two-pass path)."""
+    docs = spark.createDataFrame(
+        [(1, "a a b x"), (2, "b c c"), (3, "d"), (4, "a b c d e e")],
+        "doc_id long, text string",
+    )
+    self_scored = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    two_pass = {
+        r["doc_id"]: r for r in unigram_nll(docs, reference=docs).collect()
+    }
+    assert set(self_scored) == set(two_pass)
+    for k in self_scored:
+        assert self_scored[k]["n_tok"] == two_pass[k]["n_tok"]
+        assert self_scored[k]["avg_nll"] == two_pass[k]["avg_nll"]
+
+
 def test_cluster_representatives_hand(spark):
     clusters = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],

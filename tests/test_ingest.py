@@ -61,19 +61,32 @@ def test_ingest_increment_end_to_end(spark, tmp_path):
         assert cleaned.where(
             F.array_contains(F.split("text", "\n"), BOILER)
         ).count() == 0
-    # the publish view covers every survivor, and every doc flagged on
-    # the b side of an overlap pair lost >= k tokens (a shared winnow
-    # fingerprint IS a shared k-gram, so the excision is never vacuous)
+    # the publish view covers every survivor; every flagged doc with at
+    # least one UNFLAGGED partner lost >= k tokens (a shared winnow
+    # fingerprint IS a shared k-gram, so excision against a real partner
+    # is never vacuous), and NO flagged doc was fully self-excised while
+    # keeping tokens to lose (r6 advice fix: a doc in both pair roles is
+    # excluded from the partner set, so a chain A<B<C no longer destroys
+    # B's entire text; members of all-flagged partner sets may now
+    # legitimately lose 0 tokens)
     for k in (1, 2):
         surv_n = spark.read.parquet(f"{root}/survivors_{k:03d}").count()
         trimmed = spark.read.parquet(f"{root}/trimmed_{k:03d}")
         assert trimmed.count() == surv_n
         pairs = spark.read.parquet(f"{root}/overlap_{k:03d}")
-        flagged_trims = trimmed.join(
-            pairs.select(F.col("b").alias("doc_id")).distinct(), "doc_id"
+        b_ids = pairs.select(F.col("b").alias("doc_id")).distinct()
+        true_partner_pairs = pairs.join(
+            b_ids.withColumnRenamed("doc_id", "a"), "a", "left_anti"
         )
-        assert flagged_trims.count() > 0
-        assert flagged_trims.where(F.col("n_tokens_removed") < 5).count() == 0
+        flagged_with_partner = trimmed.join(
+            true_partner_pairs.select(F.col("b").alias("doc_id")).distinct(),
+            "doc_id",
+        )
+        assert flagged_with_partner.count() > 0
+        assert (
+            flagged_with_partner.where(F.col("n_tokens_removed") < 5).count()
+            == 0
+        )
     # corpus accounting is exact: initial + all survivors
     assert stats["corpus_final"] == stats["corpus_initial"] + sum(
         b["survivors"] for b in stats["batches"]

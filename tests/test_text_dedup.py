@@ -842,6 +842,94 @@ def test_trim_contained_runs(spark):
     assert got[13]["n_tokens_removed"] == 0  # short run untouched
 
 
+def test_overlap_chain_survivor_not_self_excised(spark):
+    """r6 (advice fix): three docs A<B<C sharing one quoted paragraph
+    produce pairs (A,B),(A,C),(B,C) — B is a b-side (flagged) AND an
+    a-side (potential partner). If B stayed in the partner set, B would
+    be trimmed against its own grams and lose its ENTIRE text. The
+    partner set must be a-side MINUS b-side ids: B and C are excised
+    against A only, keeping their unique content."""
+    from feature_engineering_spark.operators.dedup import (
+        overlap_partner_ids,
+        trim_contained_runs,
+    )
+
+    para = " ".join(f"p{j}" for j in range(10))
+    rows = [
+        (1, "a1 a2 " + para),
+        (2, "b1 b2 b3 " + para + " b4"),
+        (3, para + " c1 c2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    partner_ids = {r["doc_id"] for r in overlap_partner_ids(pairs).collect()}
+    assert partner_ids == {1}  # B (2) excluded: flagged b-side
+
+    flagged = docs.where("doc_id in (2, 3)")
+    partners = docs.join(overlap_partner_ids(pairs), "doc_id", "left_semi")
+    got = {
+        r["doc_id"]: r for r in trim_contained_runs(flagged, partners).collect()
+    }
+    assert got[2]["text"] == "b1 b2 b3 b4"       # unique content SURVIVES
+    assert got[2]["n_tokens_removed"] == 10
+    assert got[3]["text"] == "c1 c2"
+    assert got[3]["n_tokens_removed"] == 10
+
+
+def test_trim_interval_merge_equals_per_start_reference(spark):
+    """r6: the excision keep-filter probes merged [lo, hi) intervals
+    instead of every covered start (O(m*spans) vs O(m*s)). Equality with
+    the per-start definition — token i dropped iff ANY matched gram start
+    s has s <= i < s+k — on adversarial dense-starts docs: fully-quoted
+    docs (every gram matches, s = m-k+1 starts collapsing to ONE
+    interval), multiple disjoint quoted spans, and touching spans."""
+    import random
+
+    from feature_engineering_spark.operators.dedup import trim_contained_runs
+
+    k = 5
+    rng = random.Random(607)
+    quoted = [f"q{j}" for j in range(40)]
+    docs_rows, expected = [], {}
+    for did in range(24):
+        # random interleave of unique filler and quoted slices, including
+        # the dense case (whole doc = one long quoted run)
+        if did % 6 == 0:
+            toks = quoted[: 8 + (did % 16)]
+        else:
+            toks = []
+            for piece in range(rng.randint(1, 4)):
+                if rng.random() < 0.6:
+                    lo = rng.randrange(0, len(quoted) - k - 2)
+                    toks += quoted[lo : lo + rng.randint(k, k + 6)]
+                toks += [f"u{did}_{piece}_{j}" for j in range(rng.randint(0, 4))]
+        docs_rows.append((did, " ".join(toks)))
+
+    src_text = " ".join(quoted)
+    src_grams = {
+        tuple(quoted[i : i + k]) for i in range(len(quoted) - k + 1)
+    }
+    for did, text in docs_rows:
+        # mirror Spark split semantics: split("", " ") is [""], one token
+        toks = text.split(" ")
+        covered = set()
+        for s in range(max(0, len(toks) - k + 1)):
+            if tuple(toks[s : s + k]) in src_grams:
+                covered.update(range(s, s + k))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        expected[did] = (" ".join(kept), len(kept), len(toks) - len(kept))
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    sources = spark.createDataFrame([(1, src_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in trim_contained_runs(docs, sources, k=k).collect()
+    }
+    assert got == expected
+
+
 def test_winnow_guarantee_property():
     """The winnowing guarantee (Schleimer et al.): ANY shared token run
     of length >= w + k - 1 yields at least one shared fingerprint.
