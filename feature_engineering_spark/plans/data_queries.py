@@ -46,14 +46,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ mutated copy of doc_id<60 (id+10000, ' qq zz' appended)."""
-    # All three union branches derive from ONE spread scan: the mutant
-    # filters run post-exchange (they only touch 80 rows, pushdown buys
-    # nothing on a single-row-group file), and AQE's exchange reuse
-    # computes the scan+spread shuffle once for the three consumers —
-    # previously each branch re-scanned the parquet serially.
-    d = _spread(_docs(spark, sf_dir))
+def _docs_with_dupes(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """documents ∪ mutated copy of doc_id<60 (id+10000, ' qq zz' appended).
+
+    ``spread=False`` skips the parallelism repartition for consumers whose
+    FIRST operation is already a full shuffle with cheap map-side work
+    (dedup_exact: one md5 per doc, then groupBy — the spread exchange
+    would just move the same rows twice)."""
+    d = _docs(spark, sf_dir)
+    if spread:
+        d = _spread(d)
     mut = d.where(F.col("doc_id") < 60).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
@@ -194,7 +198,7 @@ FROM h
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_engineering_spark.operators.dedup import dedup_exact
 
-    return dedup_exact(_docs_with_dupes(spark, sf_dir))
+    return dedup_exact(_docs_with_dupes(spark, sf_dir, spread=False))
 
 
 SQL_DEDUP_EXACT = f"""
