@@ -160,8 +160,22 @@ def word_ngrams_all(text: Column, n: int = 2) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (set semantics) of the single-space
-    tokenization. JVM: transform over a sequence of start offsets."""
-    toks = ws_tokens(text)
+    tokenization. JVM: transform over a sequence of start offsets.
+
+    NOTE: references the token split several times (size guard, sequence
+    bound, slice source). Higher-order functions evaluate interpreted with
+    no subexpression elimination, so when this Column lands in one
+    projection the split re-runs per reference. Hot paths should stage
+    the split in its own select and use ``word_shingles_from_tokens``
+    (operators/dedup._shingle_frame does exactly that)."""
+    return word_shingles_from_tokens(ws_tokens(text), n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """``word_shingles`` over an already-materialized token-array column —
+    pass an ATTRIBUTE (a column projected in a previous select) so the
+    multiple references here are cheap per-row array reads, not repeated
+    evaluations of the split."""
     m = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), m - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))

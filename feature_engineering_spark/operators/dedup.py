@@ -44,6 +44,35 @@ def _shingles(text_col, n: int, unit: str):
     raise ValueError(f"shingle_unit must be 'word' or 'char', got {unit!r}")
 
 
+def _shingle_frame(
+    df: DataFrame, text: str, id_col: str, n: int, unit: str
+) -> DataFrame:
+    """(id, sh) with the tokenization STAGED in its own projection (r6):
+    ``word_shingles`` references the split 3-4 times (size guard,
+    sequence bound, slice source), and interpreted higher-order functions
+    re-run it per reference when everything sits in one projection.
+    Materializing the token array first makes those references cheap
+    per-row reads — CollapseProject keeps the stages separate because the
+    alias is non-cheap and multiply-referenced. Identical values.
+    Char shingles reference only the text attribute (already cheap), so
+    they stay single-projection."""
+    if unit == "word":
+        from feature_engineering_spark.functions.text import (
+            word_shingles_from_tokens,
+            ws_tokens,
+        )
+
+        staged = df.select(
+            F.col(id_col).alias("id"), ws_tokens(F.col(text)).alias("__toks")
+        )
+        return staged.select(
+            "id", word_shingles_from_tokens(F.col("__toks"), n).alias("sh")
+        )
+    return df.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text), n, unit).alias("sh")
+    )
+
+
 def dedup_exact(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on content hash: one row per distinct text with the
     smallest id as the keeper and the duplicate count
@@ -329,10 +358,7 @@ def minhash_lsh_dedup_parts(
     identical values, since inner joins on cand ids never touched any
     other row."""
     rows_per_band = num_hashes // bands
-    g = df.select(
-        F.col(id_col).alias("id"),
-        _shingles(F.col(text), shingle_n, shingle_unit).alias("sh"),
-    )
+    g = _shingle_frame(df, text, id_col, shingle_n, shingle_unit)
     sig = _signatures_from_shingles(g, num_hashes).persist()
     banded = _band_signature(sig, bands, rows_per_band)
     cand = _candidates_from_banded(banded, max_bucket_size).persist()
@@ -341,11 +367,9 @@ def minhash_lsh_dedup_parts(
         .unionByName(cand.select(F.col("b").alias("id")))
         .distinct()
     )
-    gc = df.join(
-        F.broadcast(ids), df[id_col] == ids["id"], "left_semi"
-    ).select(
-        F.col(id_col).alias("id"),
-        _shingles(F.col(text), shingle_n, shingle_unit).alias("sh"),
+    gc = _shingle_frame(
+        df.join(F.broadcast(ids), df[id_col] == ids["id"], "left_semi"),
+        text, id_col, shingle_n, shingle_unit,
     )
     j = (
         cand.join(gc.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
@@ -437,9 +461,8 @@ def minhash_lsh_incremental(
     cached frame for the session lifetime (jobs/ingest_increment.py and
     streaming_neardup_filter both clean up)."""
     rows_per_band = num_hashes // bands
-    g_new = new_docs.select(
-        F.col(id_col).alias("id"),
-        _shingles(F.col(text), shingle_n, shingle_unit).alias("sh"),
+    g_new = _shingle_frame(
+        new_docs, text, id_col, shingle_n, shingle_unit
     ).persist()
     sig_new = _signatures_from_shingles(g_new, num_hashes)
     banded_new = _band_signature(sig_new, bands, rows_per_band)
@@ -465,11 +488,12 @@ def minhash_lsh_incremental(
     )
 
     # --- exact verify: shingle ONLY the candidate corpus rows
-    g_corp = corpus.join(
-        cross.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(
-        F.col(id_col).alias("id"),
-        _shingles(F.col(text), shingle_n, shingle_unit).alias("sh"),
+    g_corp = _shingle_frame(
+        corpus.join(
+            cross.select(F.col("a").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        ),
+        text, id_col, shingle_n, shingle_unit,
     )
 
     def _verify(cand: DataFrame, ga: DataFrame, gb: DataFrame) -> DataFrame:
@@ -1120,16 +1144,29 @@ def winnow_fingerprints(
     positions, so the exploded output is a bounded fraction of the
     token stream. Guarantee: any shared run of >= w + k - 1 units
     yields >= 1 shared fingerprint (Schleimer et al., SIGMOD'03).
+
+    r6 shape note: each intermediate array (tokens, gram hashes) is
+    materialized in its OWN projection. Higher-order functions are
+    evaluated interpreted (no codegen subexpression elimination), so the
+    round-5 single-projection form re-evaluated ``hs`` — and through it
+    the full gram build and the text split — once per REFERENCE
+    (few/wins/size guards: 4-5x per row, measured as the dominant cost
+    of the whole winnow family at sf1.0). CollapseProject keeps the
+    stages separate because the aliases are referenced more than once
+    and are not cheap (same discipline as trim_contained_runs'
+    intermediate materialization). Values are identical.
     """
     if unit == "word":
         toks = F.split(F.col(text), " ")
-        m = F.size(toks)
+        staged = df.select(F.col(id_col), toks.alias("__toks"))
+        m = F.size(F.col("__toks"))
         grams = F.transform(
             F.sequence(F.lit(0), m - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
         )
     elif unit == "char":
-        t = F.col(text)
+        staged = df.select(F.col(id_col), F.col(text).alias("__t"))
+        t = F.col("__t")
         m = F.length(t)
         grams = F.transform(
             F.sequence(F.lit(0), m - k),
@@ -1141,17 +1178,28 @@ def winnow_fingerprints(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
-    few = F.array(F.array_min(hs))  # G <= w: one degenerate window
+    # guard m < k HERE (the staged projection is unconditional, unlike the
+    # old lazily-branched CASE): sequence(0, m-k) would descend and feed
+    # slice a non-positive start on short docs
+    hashed = staged.select(
+        F.col(id_col),
+        m.alias("__m"),
+        F.when(m >= k, hs).otherwise(
+            F.array().cast("array<long>")
+        ).alias("__hs"),
+    )
+    hsa = F.col("__hs")
+    few = F.array(F.array_min(hsa))  # G <= w: one degenerate window
     wins = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(hs) - w + 1),
-            lambda j: F.array_min(F.slice(hs, j, w)),
+            F.sequence(F.lit(1), F.size(hsa) - w + 1),
+            lambda j: F.array_min(F.slice(hsa, j, w)),
         )
     )
-    fps = F.when(m < k, F.array().cast("array<long>")).when(
-        F.size(hs) <= w, few
+    fps = F.when(F.col("__m") < k, F.array().cast("array<long>")).when(
+        F.size(hsa) <= w, few
     ).otherwise(wins)
-    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(
