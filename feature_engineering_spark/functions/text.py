@@ -119,9 +119,22 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 2147483647) -> Column:
 def simhash64(text: Column, nbits: int = 60) -> Column:
     """SimHash over whitespace tokens with md5-derived 60-bit token hashes:
     bit b of the result = 1 iff sum over tokens of (+1 if token-hash bit b
-    set else -1) > 0. Pure JVM (aggregate over a per-bit transform)."""
+    set else -1) > 0. Pure JVM (aggregate over a per-bit transform).
+
+    NOTE: ``nbits`` per-bit aggregates each reference the token-hash
+    array; in one projection the md5 transform re-runs per reference
+    (interpreted HOFs have no subexpression elimination). Hot paths
+    should stage the hash array in its own select and call
+    ``simhash_from_hashes`` on the attribute."""
     toks = ws_tokens(text)
     hashes = F.transform(toks, lambda t: token_hash64(t))
+    return simhash_from_hashes(hashes, nbits)
+
+
+def simhash_from_hashes(hashes: Column, nbits: int = 60) -> Column:
+    """``simhash64`` over an already-materialized token-hash array — pass
+    an ATTRIBUTE so the per-bit aggregates read the array instead of
+    re-deriving it."""
 
     def _vote(b: int):
         # closure factory: pyspark higher-order lambdas must take exactly

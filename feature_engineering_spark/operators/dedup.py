@@ -647,11 +647,22 @@ def simhash_neardup_pairs(
     ``max_bucket_size`` drops degenerate buckets (near-identical clusters
     belong to the exact-dedup pass) — same guard and rationale as
     minhash_lsh_candidates."""
-    from feature_engineering_spark.functions.text import hamming64, simhash64
-
-    s = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text), nbits).alias("sh")
+    from feature_engineering_spark.functions.text import (
+        hamming64,
+        simhash_from_hashes,
+        token_hash64,
+        ws_tokens,
     )
+
+    # stage the token-hash array (r6): the per-bit vote aggregates each
+    # reference it, and interpreted HOFs recompute per reference — inline,
+    # the md5 transform ran nbits times per row
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            ws_tokens(F.col(text)), lambda t: token_hash64(t)
+        ).alias("__th"),
+    ).select("id", simhash_from_hashes(F.col("__th"), nbits).alias("sh"))
     s = s.withColumn("bucket", F.shiftright("sh", nbits - prefix_bits))
     s = _cap_buckets(s, max_bucket_size, ("bucket",))
     l, r = s.alias("l"), s.alias("r")

@@ -65,14 +65,22 @@ def repetition_signals(
     def _tag(n: int):
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
 
-    tagged = F.flatten(
-        F.array(*[F.transform(_ngrams_from_toks(toks, n), _tag(n)) for n in ns])
-    )
-    base = docs.select(
+    # stage the split FIRST (r6): the tagged gram chain references the
+    # token array 2x per n (size bound + slice source) — interpreted HOFs
+    # recompute per reference, so building grams from the raw split expr
+    # re-split the text ~7x per row; from the staged attribute each
+    # reference is a cheap array read
+    staged = docs.select(
         F.col(id_col),
         toks.alias("__toks"),
-        tagged.alias("__grams"),
         F.length(F.expr(f"replace({text}, ' ', '')")).alias("__nschars"),
+    )
+    ta = F.col("__toks")
+    tagged = F.flatten(
+        F.array(*[F.transform(_ngrams_from_toks(ta, n), _tag(n)) for n in ns])
+    )
+    base = staged.select(
+        F.col(id_col), ta, tagged.alias("__grams"), F.col("__nschars")
     )
 
     words = (
