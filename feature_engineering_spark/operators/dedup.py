@@ -1389,31 +1389,25 @@ def trim_contained_runs(
             10,
         ).cast("long")
 
+    # token arrays staged in their own projections (r6 root cause #4):
+    # the gram builder references the split 3x (guard, sequence bound,
+    # slice source) and interpreted HOFs recompute per reference
+    ta = F.col("__toks")
+    gram_arr = F.when(
+        F.size(ta) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ta) - k),
+            lambda i: _gram_hash(ta, i),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     src_hashes = (
-        sources.select(
-            F.explode(
-                F.when(
-                    F.size(toks) >= k,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(toks) - k),
-                        lambda i: _gram_hash(toks, i),
-                    ),
-                ).otherwise(F.array().cast("array<long>"))
-            ).alias("h")
-        )
+        sources.select(toks.alias("__toks"))
+        .select(F.explode(gram_arr).alias("h"))
         .distinct()
     )
-    d_grams = docs.select(
+    d_grams = docs.select(F.col(id_col), toks.alias("__toks")).select(
         F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: _gram_hash(toks, i),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("pos", "h"),
+        F.posexplode(gram_arr).alias("pos", "h"),
     )
     covered = (
         d_grams.join(src_hashes, "h", "left_semi")
@@ -1454,16 +1448,21 @@ def trim_contained_runs(
             )
         ),
     )
-    out = out.withColumn("__iv", iv)
+    out = out.select(
+        F.col(id_col), iv.alias("__iv"), toks.alias("__dtoks")
+    )
     ivc = F.col("__iv")
-    m = F.size(toks)
+    dt = F.col("__dtoks")
+    m = F.size(dt)
     # (word, index) structs filtered against the merged ranges; built
     # with zip_with (not element_at over a filtered index list — Spark
     # 4's subexpression elimination mis-binds the nested-lambda variable
-    # there), and materialized ONCE in an intermediate projection so the
-    # three outputs don't re-evaluate it
+    # there), over the STAGED token attribute (the zip source and the
+    # sequence bound would otherwise re-split the text), and materialized
+    # ONCE in an intermediate projection so the three outputs don't
+    # re-evaluate it
     pairs = F.zip_with(
-        toks,
+        dt,
         F.sequence(F.lit(0), m - 1),
         lambda w, i: F.struct(w.alias("w"), i.alias("i")),
     )
