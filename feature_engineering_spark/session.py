@@ -27,7 +27,27 @@ _BASE_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
     "spark.ui.enabled": "false",
-    "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+    # -XX:-DontCompileHugeMethods: HotSpot refuses to JIT methods over
+    # 8000 bytecode bytes BY DEFAULT. methodSplitThreshold (below) keeps
+    # generated code under that cliff when codegen CAN split (expression
+    # lists), but a single wide nested expression is one unsplittable
+    # method — e.g. a 64-term array dot-product chain compiles to ~15 KB
+    # of bytecode and then runs in the bytecode INTERPRETER (r6 measured,
+    # 20M-row scan-side projection: 27s default vs 2.4s with the flag).
+    # The flag removes that cliff wherever it can bite; the benched suite
+    # itself is unchanged by it (interleaved A/B at sf1.0-proxy: sum of
+    # per-query minima 22.8s vs 22.4s — noise), so it is protective, not
+    # a tuned local win. NOTE the limit it lifts is per-method JIT
+    # admission, not a codegen-size license: C2 still silently bails on
+    # far larger FUSED methods (a 3x64-term chain inside a join stage
+    # stayed uncompiled and ran 5x slower than the interpreted HOF fold
+    # — which is why the LSH verifies deliberately keep their folds; see
+    # OPTIMIZATION_r06.md "negative results"). Per-JVM, data-independent;
+    # a real cluster wants it on executors too (below; ignored by
+    # local[N] where executor == driver JVM).
+    "spark.driver.extraJavaOptions":
+        "-Djava.io.tmpdir=/tmp -XX:-DontCompileHugeMethods",
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
     # Shuffle/spill to tmpfs: the sandbox's /tmp is a virtual disk whose
     # bandwidth doesn't scale with cores (measured as a flat wall-clock
     # floor from local[8] to local[32]); /dev/shm models the NVMe-local
