@@ -171,5 +171,10 @@ def get_spark(
     if (os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
             and not getattr(spark, "_fes_warmed", False)):
         spark._fes_warmed = True  # once per session, even on getOrCreate reuse
-        _warmup(spark)
+        try:
+            _warmup(spark)
+        except Exception as exc:  # never block session creation on warmup
+            import warnings
+
+            warnings.warn(f"session warmup skipped: {exc}")
     return spark
